@@ -1,0 +1,327 @@
+"""SerimiMatcher — the two-phase interlinking pipeline, Spark-first.
+
+Query lifecycle parity with the reference (SURVEY.md §3):
+
+1. label-property selection over a bounded class sample (A1/A2) +
+   stop-word mining (A3) — one driver-small collect + two aggregations;
+2. blocking order + chunk assignment (A12/O4/O5) — distributed sort;
+3. warm-up chunk (the reference's first 5 sources with the '?p'
+   any-predicate search, initializer.rb:94-98) — learns the text
+   predicates ($textp) and the searchable predicates
+   ($word_by_word_properties, frozen afterwards in batch mode);
+4. batched candidate retrieval for all remaining chunks at once
+   (J2/J3 + F11) — inverted-index joins instead of one SPARQL round
+   trip per source resource (the reference's central bottleneck,
+   SURVEY.md §3 entry point 2);
+5. chunk-parallel F12 + RDS scoring + adaptive thresholds via
+   groupBy(chunk_id).applyInPandas.
+
+Batch-mode divergences from the strictly sequential reference, both
+documented in SURVEY.md §7: the searchable-predicate list does not
+evolve after the warm-up (no per-hit promotion), and pivots
+(use_pivot) require mode='sequential'.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import SerimiConfig
+from .operators import rds_core
+from .operators.blocking import blocking_order
+from .operators.candidates import (
+    and_hits,
+    build_token_index,
+    f11_passing,
+    phrase_hits,
+    prepare_keywords,
+    select_candidates,
+)
+from .operators.labels import (
+    class_members,
+    collect_class_sample,
+    mine_stopwords,
+    select_entity_labels,
+)
+from .operators.rds import CHUNK_OUTPUT_SCHEMA, make_chunk_kernel
+
+KW_KEY = ["s", "rank", "chunk_id", "label_idx", "kw"]
+
+
+@dataclass
+class MatchResult:
+    alignments: DataFrame  # (source, target, score)
+    scores: DataFrame      # (chunk_id, src, cand, score, threshold, accepted)
+    labels: list[str]
+    stopwords: tuple[str, ...]
+    textp: list[str]
+    search_predicates: list[str]
+
+
+class SerimiMatcher:
+    def __init__(self, cfg: SerimiConfig | None = None):
+        self.cfg = cfg or SerimiConfig()
+
+    def _mat(self, df: DataFrame, name: str) -> DataFrame:
+        """Materialize a stage boundary.
+
+        Every downstream stage reuses these frames several times; without
+        materialization the logical plan re-explodes at each layer (the
+        reference's equivalent is its per-query memo cache,
+        sparql.rb:78-93). With cfg.checkpoint_dir set this doubles as
+        the per-stage checkpoint the north_rule requires (parquet here;
+        Iceberg tables on a real deployment); otherwise an eager
+        localCheckpoint truncates lineage in memory.
+        """
+        if self.cfg.checkpoint_dir:
+            path = f"{self.cfg.checkpoint_dir}/{self.cfg.run_id}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            return df.sparkSession.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    # -- retrieval for one keyword frame against one index ----------------
+    def _retrieve(
+        self,
+        keywords: DataFrame,
+        index: DataFrame,
+        target: DataFrame,
+        tiers: dict[str, int] | None,
+        textp: list[str] | None,
+        stopwords: tuple[str, ...],
+        name: str = "retrieve",
+    ):
+        cfg = self.cfg
+        h1 = phrase_hits(keywords, index, tiers)
+        p1 = self._mat(f11_passing(h1, target, textp, stopwords, cfg), f"{name}_p1")
+        sel_kws = p1.select(*KW_KEY).distinct()
+        failed = keywords.filter("searchable").join(sel_kws, KW_KEY, "left_anti")
+        h2 = and_hits(failed, index, tiers, stopwords)
+        p2 = self._mat(f11_passing(h2, target, textp, stopwords, cfg), f"{name}_p2")
+        cr = select_candidates(keywords, p1, p2)
+        cr.pairs = self._mat(cr.pairs, f"{name}_pairs")
+        cr.searched = self._mat(cr.searched, f"{name}_searched")
+        return cr
+
+    # -- chunk-kernel input assembly --------------------------------------
+    def _chunk_input(
+        self, cand_result, source: DataFrame, target: DataFrame
+    ) -> DataFrame:
+        pairs = cand_result.pairs  # (chunk_id, rank, s, cand)
+        searched = cand_result.searched
+
+        desc = target.filter(~F.col("is_bnode")).select(
+            F.col("s").alias("cand"), "p", "o", "o_is_uri"
+        )
+        cand_rows = (
+            pairs.join(desc, "cand")
+            .select(
+                "chunk_id",
+                "rank",
+                F.col("s").alias("src"),
+                F.lit("cand").alias("role"),
+                "cand",
+                "p",
+                "o",
+                "o_is_uri",
+            )
+        )
+        srcs = pairs.select("chunk_id", "rank", "s").distinct()
+        origin_rows = (
+            srcs.join(source, "s")
+            .select(
+                "chunk_id",
+                "rank",
+                F.col("s").alias("src"),
+                F.lit("origin").alias("role"),
+                F.lit("").alias("cand"),
+                "p",
+                "o",
+                "o_is_uri",
+            )
+            .distinct()
+        )
+        kw_rows = searched.select(
+            "chunk_id",
+            "rank",
+            F.col("s").alias("src"),
+            F.lit("kw").alias("role"),
+            F.lit("").alias("cand"),
+            F.col("kw").alias("p"),
+            F.lit("").alias("o"),
+            F.lit(False).alias("o_is_uri"),
+        )
+        rows = cand_rows.unionByName(origin_rows).unionByName(kw_rows)
+
+        if self.cfg.dbpedia_target:
+            from .sources.triples import WIKI_REDIRECT
+
+            redirects = target.filter(F.col("p") == WIKI_REDIRECT).select(
+                F.col("s").alias("alias"), F.col("o").alias("rtarget")
+            )
+            hit_aliases = pairs.join(
+                redirects, pairs["cand"] == redirects["alias"]
+            )
+            rdir_rows = hit_aliases.select(
+                "chunk_id",
+                "rank",
+                F.col("s").alias("src"),
+                F.lit("rdir").alias("role"),
+                F.col("alias").alias("cand"),
+                F.lit("").alias("p"),
+                F.col("rtarget").alias("o"),
+                F.lit(True).alias("o_is_uri"),
+            ).distinct()
+            rdesc = (
+                hit_aliases.select(F.col("rtarget").alias("cand")).distinct()
+                .join(desc, "cand")
+            )
+            rdesc_rows = (
+                hit_aliases.select("chunk_id", "rank", "s", "rtarget")
+                .distinct()
+                .join(rdesc, hit_aliases["rtarget"] == rdesc["cand"])
+                .select(
+                    "chunk_id",
+                    "rank",
+                    F.col("s").alias("src"),
+                    F.lit("rdesc").alias("role"),
+                    "cand",
+                    "p",
+                    "o",
+                    "o_is_uri",
+                )
+                .distinct()
+            )
+            rows = rows.unionByName(rdir_rows).unionByName(rdesc_rows)
+        return rows
+
+    # -- warm-up: learn textp + searchable predicates ----------------------
+    def _warmup(self, cand_result, source, target, stopwords):
+        """Collects the warm-up chunk (<=5 sources) and replays the
+        reference's chunk-1 math on the driver: $textp from the chunk's
+        candidate data (serimi_module.rb:179) and the searchable
+        predicates from its discriminative entropy (serimi_module.rb:28-30).
+        Returns (textp, search_predicates, score_rows)."""
+        cfg = self.cfg
+        rows = self._chunk_input(cand_result, source, target).collect()
+        by_src: dict[str, dict] = {}
+        ranks: dict[str, int] = {}
+        for r in rows:
+            d = by_src.setdefault(r.src, {"cand": set(), "origin": set(), "kw": set()})
+            if r.role == "cand":
+                d["cand"].add((r.cand, r.p, r.o, bool(r.o_is_uri)))
+            elif r.role == "origin":
+                d["origin"].add((r.p, r.o, bool(r.o_is_uri)))
+            elif r.role == "kw":
+                d["kw"].add(r.p)
+            ranks[r.src] = r.rank
+        srcs = sorted(by_src, key=lambda s: ranks[s])
+        groups = [sorted(by_src[s]["cand"]) for s in srcs]
+        origins = [sorted(by_src[s]["origin"]) for s in srcs]
+        searched = [sorted(by_src[s]["kw"]) for s in srcs]
+
+        textp = rds_core.get_text_properties(groups, cfg.text_property_len)
+        filtered, disc = rds_core.entity_label_filtering(
+            groups, searched, textp, stopwords, cfg.string_threshold,
+            cfg.entropy_group_presence,
+        )
+        search_preds = disc[: cfg.max_search_predicates]
+
+        keep = [i for i, g in enumerate(filtered) if len(g) > 0]
+        score_rows: list[tuple] = []
+        if len(keep) > 1:
+            out = rds_core.score_chunk(
+                [filtered[i] for i in keep],
+                [origins[i] for i in keep],
+                textp,
+                topk=cfg.topk,
+                rds_threshold=cfg.rds_threshold,
+                min_overflow_threshold=cfg.overflow_min_threshold,
+            )
+            kept_srcs = [srcs[i] for i in keep]
+            score_rows = [
+                (0, kept_srcs[g], c, v, t, a) for g, c, v, t, a in out
+            ]
+        return textp, search_preds, score_rows
+
+    # -- the pipeline -------------------------------------------------------
+    def run(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        target: DataFrame,
+        class_uri: str,
+    ) -> MatchResult:
+        cfg = self.cfg
+
+        members = class_members(source, class_uri)
+        sample = collect_class_sample(source, members, cfg.class_sample_limit)
+        labels, _sample_textp = select_entity_labels(
+            sample, cfg.text_property_len
+        )
+        stopwords = mine_stopwords(source, members, labels)
+
+        ranked = self._mat(blocking_order(source, members, labels, cfg), "ranked")
+        keywords = self._mat(
+            prepare_keywords(source, ranked, labels, cfg), "keywords"
+        )
+
+        # warm-up chunk: any-predicate search (wbwp == ['?p'])
+        index_all = self._mat(build_token_index(target, None, cfg), "index_all")
+        kw0 = keywords.filter(F.col("chunk_id") == 0)
+        cr0 = self._retrieve(kw0, index_all, target, None, None, stopwords, "warm")
+        textp, search_preds, warm_rows = self._warmup(
+            cr0, source, target, stopwords
+        )
+
+        # batched remaining chunks with the learned predicate cascade
+        kwN = keywords.filter(F.col("chunk_id") >= 1)
+        if search_preds:
+            index = self._mat(
+                build_token_index(target, search_preds, cfg), "index"
+            )
+            tiers = {p: i for i, p in enumerate(search_preds)}
+        else:
+            index, tiers = index_all, None  # fallback: nothing learned
+        crN = self._retrieve(kwN, index, target, tiers, textp, stopwords, "main")
+        chunk_input = self._mat(
+            self._chunk_input(crN, source, target), "chunk_input"
+        )
+
+        kernel = make_chunk_kernel(
+            textp,
+            stopwords,
+            topk=cfg.topk,
+            rds_threshold=cfg.rds_threshold,
+            filter_threshold=cfg.string_threshold,
+            overflow_min=cfg.overflow_min_threshold,
+            group_presence=cfg.entropy_group_presence,
+            dbpedia=cfg.dbpedia_target,
+        )
+        scored = chunk_input.groupBy("chunk_id").applyInPandas(
+            kernel, CHUNK_OUTPUT_SCHEMA
+        )
+        if warm_rows:
+            warm_df = spark.createDataFrame(warm_rows, CHUNK_OUTPUT_SCHEMA)
+            scored = warm_df.unionByName(scored)
+        scored = self._mat(scored, "scored")
+
+        alignments = (
+            scored.filter("accepted")
+            .select(
+                F.col("src").alias("source"),
+                F.col("cand").alias("target"),
+                F.col("score"),
+            )
+            .distinct()
+        )
+        return MatchResult(
+            alignments=alignments,
+            scores=scored,
+            labels=labels,
+            stopwords=stopwords,
+            textp=textp,
+            search_predicates=search_preds,
+        )

@@ -1,0 +1,369 @@
+"""J2/J3 candidate retrieval + F11 similarity filtering, batched.
+
+The reference issues one Virtuoso `bif:contains` query per (keyword,
+predicate) with retry-on-error and break-on-first-hit
+(search_module.rb:62-198). Here the whole corpus is searched at once:
+
+* an inverted token index over target literals (explode + distinct)
+  replaces Virtuoso's text index; per-token fan-out is capped (skew
+  guard — hot tokens like 'john' otherwise explode J2, SURVEY.md §7);
+* tier-1 phrase search joins each keyword's RAREST token (frequency
+  from the index — selectivity + skew avoidance) against the index and
+  verifies the phrase JVM-side with instr();
+* tier-2 AND search (search_module.rb:126-168) generates the trailing-
+  token-drop prefixes (len>=2) and the stopword-stripped variant, joins
+  tokens against the index and verifies ALL-tokens-present with a
+  countDistinct == prefix-size aggregate;
+* F11 (search_module.rb:228-270) scores DISTINCT (keyword, literal)
+  pairs with the advanced_string_matching pandas UDF and keeps
+  candidate groups whose best literal beats the threshold;
+* cascade selection (first predicate tier with a passing hit; first
+  label property with any candidate) becomes min-over-priority
+  aggregates — batch-evaluating all tiers then selecting is the
+  set-oriented equivalent of the reference's sequential break.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import SerimiConfig
+from ..functions.columns import norm_text, norm_tokens, paren_strip, valid_date_col
+from ..functions.udfs import asm_udf
+
+YAGO_PREFIX = "http://dbpedia.org/class/yago/"
+
+
+# ---------------------------------------------------------------------------
+# keyword preparation (F8 hygiene + search-level cleanup)
+# ---------------------------------------------------------------------------
+
+
+def prepare_keywords(
+    source: DataFrame,
+    ranked: DataFrame,
+    labels: list[str],
+    cfg: SerimiConfig,
+) -> DataFrame:
+    """(src, rank, chunk_id, label_idx, kw, kw_norm, searchable).
+
+    Hygiene per serimi_module.rb:159-164 (len<=150, no bnodes, no
+    dates, paren-strip, distinct) then search-level cleanup
+    (search_module.rb:69-71: '*'->' ', drop '\"', searchable iff
+    len>=3). Non-searchable keywords are kept — they still enter
+    @searchedlabels for F12 scoring (serimi_module.rb:173).
+    """
+    label_map = F.create_map(
+        *[x for i, lab in enumerate(labels) for x in (F.lit(lab), F.lit(i))]
+    )
+    kw = (
+        source.join(ranked, "s")
+        .filter(F.col("p").isin(labels) & ~F.col("is_bnode") & ~F.col("o_is_uri"))
+        .withColumn("label_idx", label_map[F.col("p")])
+        .filter(F.length("o") <= cfg.keyword_max_len)
+        .filter(~valid_date_col("o"))
+        .withColumn("kw", paren_strip("o"))
+        .withColumn(
+            "kw", F.regexp_replace(F.regexp_replace("kw", r"\*", " "), '"', "")
+        )
+        .select("s", "rank", "chunk_id", "label_idx", "kw")
+        .distinct()
+        .withColumn("searchable", F.length("kw") >= cfg.min_keyword_len)
+        .withColumn("kw_norm", norm_text("kw"))
+    )
+    return kw
+
+
+# ---------------------------------------------------------------------------
+# inverted token index over target literals
+# ---------------------------------------------------------------------------
+
+
+def build_token_index(
+    target: DataFrame,
+    search_predicates: list[str] | None,
+    cfg: SerimiConfig,
+) -> DataFrame:
+    """(tok, cand, p, norm_o) over distinct tokens of target literal
+    values; per-token candidate rows capped at
+    cfg.max_candidates_per_token (deterministic order; drops are a
+    logged, bounded recall trade at scale)."""
+    lits = target.filter(~F.col("o_is_uri") & ~F.col("is_bnode"))
+    if search_predicates is not None:
+        lits = lits.filter(F.col("p").isin(search_predicates))
+    if cfg.dbpedia_target:
+        lits = lits.filter(~F.col("s").startswith(YAGO_PREFIX))
+    idx = (
+        lits.select(
+            F.col("s").alias("cand"),
+            "p",
+            norm_text("o").alias("norm_o"),
+        )
+        .withColumn("tok", F.explode(F.array_distinct(norm_tokens("norm_o"))))
+        .distinct()
+    )
+    w = Window.partitionBy("tok").orderBy("cand", "p", "norm_o")
+    idx = (
+        idx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cfg.max_candidates_per_token)
+        .drop("rn")
+    )
+    return idx
+
+
+# ---------------------------------------------------------------------------
+# tier-1 phrase search (J2)
+# ---------------------------------------------------------------------------
+
+
+def phrase_hits(
+    keywords: DataFrame,
+    index: DataFrame,
+    tier_of_pred: dict[str, int] | None,
+) -> DataFrame:
+    """(s, rank, chunk_id, label_idx, kw, tier, cand) — phrase matches.
+
+    tier_of_pred maps searchable predicate -> cascade priority; None
+    means the any-predicate warm-up tier ('?p', tier 0 for all)."""
+    tok_freq = index.groupBy("tok").agg(F.count("*").alias("tok_freq"))
+    ks = keywords.filter("searchable").withColumn(
+        "tok", F.explode(F.array_distinct(norm_tokens("kw_norm")))
+    )
+    ks = ks.join(tok_freq, "tok")  # inner: a missing token -> no phrase hit
+    w = (
+        ks.groupBy("s", "rank", "chunk_id", "label_idx", "kw", "kw_norm")
+        .agg(
+            F.min(F.struct(F.col("tok_freq"), F.col("tok"))).alias("rare")
+        )
+        .select(
+            "s", "rank", "chunk_id", "label_idx", "kw", "kw_norm",
+            F.col("rare.tok").alias("tok"),
+        )
+    )
+    hits = (
+        w.join(index, "tok")
+        .filter(
+            F.instr(
+                F.concat(F.lit(" "), F.col("norm_o"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("kw_norm"), F.lit(" ")),
+            )
+            > 0
+        )
+        .filter(F.col("kw_norm") != "")
+    )
+    if tier_of_pred is None:
+        hits = hits.withColumn("tier", F.lit(0))
+    else:
+        tier_map = F.create_map(
+            *[x for p, i in tier_of_pred.items() for x in (F.lit(p), F.lit(i))]
+        )
+        hits = hits.withColumn("tier", tier_map[F.col("p")]).filter(
+            F.col("tier").isNotNull()
+        )
+    return hits.select(
+        "s", "rank", "chunk_id", "label_idx", "kw", "tier", "cand"
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# tier-2 AND search (J3) for keywords without a passing tier-1 hit
+# ---------------------------------------------------------------------------
+
+
+def and_hits(
+    failed_keywords: DataFrame,
+    index: DataFrame,
+    tier_of_pred: dict[str, int] | None,
+    stopwords: tuple[str, ...],
+) -> DataFrame:
+    """(s, rank, chunk_id, label_idx, kw, variant, prefix_len, tier, cand).
+
+    variant 'and' = trailing-token-drop prefixes (len>=2, longest
+    wins); variant 'nsw' = full token set minus stopwords (len>=2).
+    A hit requires every prefix token in the SAME target literal.
+    """
+    toks = failed_keywords.withColumn("toks", norm_tokens("kw_norm"))
+    n = F.size("toks")
+    # 'and' prefixes: L = n, n-1, ..., 2 (search_module.rb:134-147)
+    prefixes = (
+        toks.filter(n >= 2)
+        .withColumn("prefix_len", F.explode(F.sequence(F.lit(2), n)))
+        .withColumn("ptoks", F.array_distinct(F.slice("toks", 1, F.col("prefix_len"))))
+        .withColumn("variant", F.lit("and"))
+    )
+    sw_arr = F.array([F.lit(x) for x in stopwords]) if stopwords else F.array().cast("array<string>")
+    nsw = (
+        toks.withColumn("ptoks", F.array_distinct(F.array_except("toks", sw_arr)))
+        .filter(F.size("ptoks") >= 2)
+        .withColumn("prefix_len", F.size("ptoks"))
+        .withColumn("variant", F.lit("nsw"))
+    )
+    allpre = prefixes.unionByName(nsw, allowMissingColumns=True).withColumn(
+        "n_req", F.size("ptoks")
+    )
+    exploded = allpre.select(
+        "s", "rank", "chunk_id", "label_idx", "kw", "variant", "prefix_len",
+        "n_req", F.explode("ptoks").alias("tok"),
+    )
+    joined = exploded.join(index, "tok")
+    grouped = (
+        joined.groupBy(
+            "s", "rank", "chunk_id", "label_idx", "kw", "variant",
+            "prefix_len", "n_req", "cand", "p", "norm_o",
+        )
+        .agg(F.countDistinct("tok").alias("n_hit"))
+        .filter(F.col("n_hit") == F.col("n_req"))
+    )
+    if tier_of_pred is None:
+        grouped = grouped.withColumn("tier", F.lit(0))
+    else:
+        tier_map = F.create_map(
+            *[x for p, i in tier_of_pred.items() for x in (F.lit(p), F.lit(i))]
+        )
+        grouped = grouped.withColumn("tier", tier_map[F.col("p")]).filter(
+            F.col("tier").isNotNull()
+        )
+    return grouped.select(
+        "s", "rank", "chunk_id", "label_idx", "kw", "variant",
+        "prefix_len", "tier", "cand",
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# F11 — candidate-group similarity filter
+# ---------------------------------------------------------------------------
+
+
+def f11_passing(
+    hits: DataFrame,
+    target: DataFrame,
+    textp: list[str] | None,
+    stopwords: tuple[str, ...],
+    cfg: SerimiConfig,
+) -> DataFrame:
+    """Adds pass/fail per (kw, cand): the candidate's description has a
+    literal with advanced_string_matching(kw, o) > threshold.
+
+    When textp is unknown (warm-up chunk) the length-ratio prune
+    len(o) <= 3*len(kw) applies instead (search_module.rb:247-249).
+    Scores are computed once per DISTINCT (kw, literal) pair.
+    """
+    cands = hits.select("cand").distinct()
+    desc = target.join(cands, target["s"] == cands["cand"], "left_semi").filter(
+        ~F.col("o_is_uri") & ~F.col("is_bnode")
+    )
+    if textp is not None:
+        if textp:
+            desc = desc.filter(~F.col("p").isin(list(textp)))
+    pairs = (
+        hits.select("kw", "cand")
+        .distinct()
+        .join(desc.select(F.col("s").alias("cand"), F.col("o").alias("lit")), "cand")
+    )
+    if textp is None:
+        pairs = pairs.filter(F.length("lit") <= 3 * F.length("kw"))
+    scored_pairs = (
+        pairs.select("kw", "lit")
+        .distinct()
+        .withColumn("asm", asm_udf(stopwords)(F.col("kw"), F.col("lit")))
+        .filter(F.col("asm") > cfg.string_threshold)
+        .select("kw", "lit")
+    )
+    passing = (
+        pairs.join(scored_pairs, ["kw", "lit"], "left_semi")
+        .select("kw", "cand")
+        .distinct()
+        .withColumn("passes", F.lit(True))
+    )
+    return hits.join(passing, ["kw", "cand"], "inner")
+
+
+# ---------------------------------------------------------------------------
+# cascade selection
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CandidateResult:
+    pairs: DataFrame      # (chunk_id, rank, s, cand)
+    searched: DataFrame   # (chunk_id, rank, s, kw) — winning label property
+
+
+def select_candidates(
+    keywords: DataFrame,
+    passing_t1: DataFrame,
+    passing_t2: DataFrame | None,
+) -> CandidateResult:
+    """Reference cascade as min-priority selections:
+
+    * per keyword, tier-1 wins at the lowest predicate tier with a
+      passing candidate (search_module.rb:91);
+    * tier-2 'and' wins at (lowest tier, longest prefix); the 'nsw'
+      variant adds its own first-passing tier (b + c union,
+      search_module.rb:167);
+    * per source, the first label property (label_idx) with any
+      candidate wins (serimi_module.rb:151-170); its keywords become
+      the searched labels.
+    """
+    kw_key = ["s", "rank", "chunk_id", "label_idx", "kw"]
+    best1 = passing_t1.groupBy(*kw_key).agg(F.min("tier").alias("best_tier"))
+    sel1 = passing_t1.join(best1, kw_key).filter(
+        F.col("tier") == F.col("best_tier")
+    ).select(*kw_key, "cand")
+
+    sels = [sel1]
+    if passing_t2 is not None:
+        t2 = passing_t2
+        and_best = (
+            t2.filter(F.col("variant") == "and")
+            .groupBy(*kw_key)
+            .agg(F.min(F.struct(F.col("tier"), (-F.col("prefix_len")).alias("npl"))).alias("b"))
+        )
+        sel2a = (
+            t2.filter(F.col("variant") == "and")
+            .join(and_best, kw_key)
+            .filter(
+                (F.col("tier") == F.col("b.tier"))
+                & (-F.col("prefix_len") == F.col("b.npl"))
+            )
+            .select(*kw_key, "cand")
+        )
+        nsw_best = (
+            t2.filter(F.col("variant") == "nsw")
+            .groupBy(*kw_key)
+            .agg(F.min("tier").alias("best_tier"))
+        )
+        sel2b = (
+            t2.filter(F.col("variant") == "nsw")
+            .join(nsw_best, kw_key)
+            .filter(F.col("tier") == F.col("best_tier"))
+            .select(*kw_key, "cand")
+        )
+        sels.extend([sel2a, sel2b])
+
+    all_sel = sels[0]
+    for s_ in sels[1:]:
+        all_sel = all_sel.unionByName(s_)
+    all_sel = all_sel.distinct()
+
+    # label-property cascade per source
+    src_key = ["s", "rank", "chunk_id"]
+    best_label = all_sel.groupBy(*src_key).agg(
+        F.min("label_idx").alias("best_label")
+    )
+    final_pairs = (
+        all_sel.join(best_label, src_key)
+        .filter(F.col("label_idx") == F.col("best_label"))
+        .select("chunk_id", "rank", "s", "cand")
+        .distinct()
+    )
+    searched = (
+        keywords.join(best_label, src_key)
+        .filter(F.col("label_idx") == F.col("best_label"))
+        .select("chunk_id", "rank", "s", "kw")
+        .distinct()
+    )
+    return CandidateResult(pairs=final_pairs, searched=searched)

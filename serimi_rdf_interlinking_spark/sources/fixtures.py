@@ -1,0 +1,172 @@
+"""Deterministic synthetic fixtures (FIXTURES.md).
+
+Spark-free generators producing plain row lists; tests wrap them in
+DataFrames. Content features exercise the cited reference behaviors:
+entropy spread (A1/A2), long-text predicates (F9), property overflow
+(A5), IFP-like ids (A6), homonyms across pseudo-classes (the
+disambiguation workload), surface variants (T1/T2/T6, F8), redirects +
+sameAs (F13/J5, connected components), and web pages embedding the same
+facts for the extraction stage (byte-identical text per url).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+SRC = "http://src.test/resource/"
+TGT = "http://tgt.test/resource/"
+SRC_ONT = "http://src.test/ontology/"
+TGT_ONT = "http://tgt.test/ontology/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+WIKI_REDIRECT = "http://dbpedia.org/ontology/wikiPageRedirects"
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+CLASS_CITY = "http://src.test/class/City"
+CLASS_PERSON = "http://src.test/class/Person"
+
+_SYL1 = ["bar", "cor", "dal", "fen", "gar", "hol", "jas", "kel", "lor", "mar",
+         "nor", "pol", "quil", "ros", "sal", "tor", "ulm", "ver", "wes", "zan"]
+_SYL2 = ["ia", "ton", "ville", "berg", "field", "mont", "ford", "wick", "dale", "more"]
+_COUNTRIES = ["argovia", "belmora", "cordia", "dalmena", "estria"]
+_REGIONS = ["north", "south", "east", "west", "central"]
+_FIRST = ["alda", "bruno", "celia", "dario", "elena", "fabio", "greta", "hugo",
+          "irene", "jonas", "karla", "lucas", "mira", "nestor", "olga", "pavel"]
+_LAST = [a + b for a in _SYL1[:12] for b in ("son", "man", "etti")]
+
+
+@dataclass
+class Fixture:
+    source: list[tuple] = field(default_factory=list)   # (s,p,o,o_is_uri,is_bnode)
+    target: list[tuple] = field(default_factory=list)
+    gold: list[tuple[str, str]] = field(default_factory=list)
+    pages: list[tuple] = field(default_factory=list)     # (url, ts_sec, html, text, lang)
+    expected_extractions: list[tuple] = field(default_factory=list)  # (url,s,p,o)
+    sameas: list[tuple[str, str]] = field(default_factory=list)
+
+
+def _city_name(rng: random.Random) -> str:
+    return rng.choice(_SYL1) + rng.choice(_SYL2)
+
+
+def _variant(rng: random.Random, name: str) -> str:
+    """Surface variants the string kernels must absorb (FIXTURES.md §2)."""
+    roll = rng.random()
+    if roll < 0.25:
+        return name.title()
+    if roll < 0.40:
+        return name.replace(" ", "_")
+    if roll < 0.55:
+        return name + " (settlement)"   # paren-strip F8
+    if roll < 0.65:
+        parts = name.split()
+        if len(parts) >= 2:
+            return parts[0][0] + " " + " ".join(parts[1:])  # initial, T6
+        return name
+    if roll < 0.75:
+        return name.replace("a", "á", 1)  # accent fold, T2
+    return name
+
+
+def build_interlinking_fixture(n_entities: int = 60, seed: int = 7,
+                               homonym_rate: float = 0.25) -> Fixture:
+    """Two RDF datasets + gold alignment + web pages.
+
+    Source entities are cities of CLASS_CITY; targets carry the same
+    facts under a different vocabulary plus pseudo-class noise
+    (homonym rivers/persons) that RDS must reject.
+    """
+    rng = random.Random(seed)
+    fx = Fixture()
+
+    # distinct base names; a fraction reused by homonym noise entities
+    names: list[str] = []
+    seen = set()
+    while len(names) < n_entities:
+        nm = _city_name(rng)
+        if nm not in seen:
+            seen.add(nm)
+            names.append(nm)
+
+    for i, name in enumerate(names):
+        s = f"{SRC}city/{i}"
+        t = f"{TGT}city/{i}"
+        country = _COUNTRIES[i % len(_COUNTRIES)]
+        region = _REGIONS[(i // len(_COUNTRIES)) % len(_REGIONS)]
+        pop = str(10000 + i * 137)
+        founded = f"{1400 + (i * 13) % 500}-0{1 + i % 9}-1{i % 9}"
+
+        label = _variant(rng, name)
+        fx.source.append((s, RDF_TYPE, CLASS_CITY, True, False))
+        fx.source.append((s, RDFS_LABEL, label, False, False))
+        fx.source.append((s, f"{SRC_ONT}country", country, False, False))
+        fx.source.append((s, f"{SRC_ONT}region", region, False, False))
+        fx.source.append((s, f"{SRC_ONT}population", pop, False, False))
+        fx.source.append((s, f"{SRC_ONT}founded", founded, False, False))
+        # long-text predicate (F9) on a third of the entities
+        if i % 3 == 0:
+            fx.source.append(
+                (s, f"{SRC_ONT}abstract",
+                 f"{name} is a settlement in {country}. " + ("lorem ipsum " * 40),
+                 False, False)
+            )
+
+        has_target = i % 10 != 9  # ~10% of sources have no match (precision test)
+        if has_target:
+            fx.target.append((t, RDF_TYPE, f"{TGT}class/Settlement", True, False))
+            fx.target.append((t, f"{TGT_ONT}name", name, False, False))
+            fx.target.append((t, f"{TGT_ONT}country", country, False, False))
+            fx.target.append((t, f"{TGT_ONT}region", region, False, False))
+            fx.target.append((t, f"{TGT_ONT}population", pop, False, False))
+            fx.target.append((t, f"{TGT_ONT}uid", f"Q{100000 + i}", False, False))  # IFP A6
+            fx.gold.append((s, t))
+
+        # homonym noise: a river and/or person sharing the name
+        if rng.random() < homonym_rate:
+            r = f"{TGT}river/{i}"
+            fx.target.append((r, RDF_TYPE, f"{TGT}class/River", True, False))
+            fx.target.append((r, f"{TGT_ONT}name", name, False, False))
+            fx.target.append((r, f"{TGT_ONT}length_km", str(50 + i), False, False))
+            fx.target.append((r, f"{TGT_ONT}mouth", f"{TGT}sea/{i % 4}", True, False))
+        if rng.random() < homonym_rate / 2:
+            pcand = f"{TGT}person/{i}"
+            fx.target.append((pcand, RDF_TYPE, f"{TGT}class/Person", True, False))
+            fx.target.append((pcand, f"{TGT_ONT}name", f"{rng.choice(_FIRST)} {name}", False, False))
+            fx.target.append((pcand, f"{TGT_ONT}born", f"19{30 + i % 60}-01-0{1 + i % 9}", False, False))
+
+        # redirect alias (F13/J5) for every 7th target + a sameAs link
+        if has_target and i % 7 == 3:
+            alias = f"{TGT}city_alias/{i}"
+            fx.target.append((alias, WIKI_REDIRECT, t, True, False))
+            fx.target.append((alias, f"{TGT_ONT}name", name + " town", False, False))
+            fx.sameas.append((alias, t))
+
+        # a bnode row that must be filtered (F5)
+        if i % 11 == 5:
+            fx.target.append((f"_:b{i}", f"{TGT_ONT}name", name, False, True))
+
+        # web page carrying the same facts (extraction stage)
+        url = f"https://ex{i % 5}.test/p/{i}"
+        text = (
+            f"{name} is a settlement in {country}. "
+            f"It lies in the {region} region. "
+            f"Its population is {pop}."
+        )
+        html = f"<html><body>{text}</body></html>".encode("utf-8")
+        lang = "en" if i % 9 != 8 else ("pt" if i % 2 == 0 else "de")
+        fx.pages.append((url, 1_600_000_000 + i, html, text, lang))
+        fx.expected_extractions.extend(
+            [
+                (url, name, "in_country", country),
+                (url, name, "in_region", region),
+                (url, name, "population", pop),
+            ]
+        )
+
+    # property overflow (A5): one target with a flood of distinct values
+    flood = f"{TGT}city/0"
+    for j in range(40):
+        fx.target.append((flood, f"{TGT_ONT}seealso", f"{TGT}misc/{j}", True, False))
+
+    return fx
