@@ -1,0 +1,110 @@
+"""Canonicalization: connected components over owl:sameAs ∪ redirects.
+
+north_star: matched entities are canonicalized with a connected-
+components union over sameAs links before graph materialization.
+
+GraphFrames-free pure-DataFrame implementation: iterative minimum-label
+propagation. Each round is two shuffles (join + groupBy-min); lineage is
+truncated per round (localCheckpoint) so plans stay bounded; rounds are
+O(component diameter) — sameAs/redirect components are shallow (stars
+and short chains), so convergence is fast in practice. The alternating
+large-star/small-star optimization is a drop-in upgrade at larger
+diameters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Returns (node, component) with component = min node id (string
+    order) of the node's component. Edges are treated as undirected."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = und.localCheckpoint(eager=True)
+
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # candidate labels: own + min over neighbors' labels
+        neigh = (
+            und.join(labels, und["b"] == labels["node"])
+            .select(F.col("a").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_mapping(
+    sameas: DataFrame, redirects: DataFrame | None = None
+) -> DataFrame:
+    """(entity, canonical) over sameAs ∪ redirect edges; canonical is
+    the component minimum (deterministic)."""
+    edges = sameas.select(
+        F.col(sameas.columns[0]).alias("src"), F.col(sameas.columns[1]).alias("dst")
+    )
+    if redirects is not None:
+        edges = edges.unionByName(
+            redirects.select(
+                F.col(redirects.columns[0]).alias("src"),
+                F.col(redirects.columns[1]).alias("dst"),
+            )
+        )
+    cc = connected_components(edges)
+    return cc.select(F.col("node").alias("entity"), F.col("component").alias("canonical"))
+
+
+def canonicalize_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite s and (uri-valued) o through the canonical mapping —
+    two broadcast-or-shuffle left joins; non-mapped nodes pass through."""
+    m_s = mapping.select(
+        F.col("entity").alias("s"), F.col("canonical").alias("s_canon")
+    )
+    m_o = mapping.select(
+        F.col("entity").alias("o"), F.col("canonical").alias("o_canon")
+    )
+    out = (
+        triples.join(m_s, "s", "left")
+        .join(m_o, "o", "left")
+        .withColumn("s", F.coalesce("s_canon", "s"))
+        .withColumn(
+            "o",
+            F.when(F.col("o_is_uri"), F.coalesce("o_canon", "o")).otherwise(
+                F.col("o")
+            ),
+        )
+        .drop("s_canon", "o_canon")
+    )
+    return out.distinct()

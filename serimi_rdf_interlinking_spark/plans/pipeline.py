@@ -1,0 +1,263 @@
+"""KG-construction pipeline: pages → extract → link → canonicalize →
+materialize, checkpointed per stage and idempotently resumable.
+
+north_rule requirements covered here:
+* per-stage checkpoints: every stage writes its output table under
+  <checkpoint_dir>/<run_id>/<stage>/ (parquet locally; the same layout
+  maps to Iceberg tables on a deployment with the Iceberg runtime jars,
+  see sources/io.py) and records completion in _state.json;
+* resume: a rerun with the same run_id skips completed stages by
+  reading their committed outputs — killing the driver between stages
+  and rerunning yields byte-identical results;
+* lineage + counters: every stage appends (run_id, stage,
+  partition_id, rows_in, rows_out) rows to the lineage table; the
+  extract stage records per-partition row counts.
+
+The reference analogue is the `-b` offset-resume flag + sequential
+chunk loop (serimi.rb:62-65, initializer.rb:84-87,93-130).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import SerimiConfig
+from ..extract import extract_triples, mentions_as_source_triples
+from ..matcher import SerimiMatcher
+from ..operators.graph import canonical_mapping
+from ..sources.triples import OWL_SAMEAS, WIKI_REDIRECT
+
+
+@dataclass
+class PipelineResult:
+    triples_out: DataFrame        # canonical extracted triples
+    alignments: DataFrame         # (source, target, score)
+    canonical_ids: DataFrame      # (entity, canonical)
+    lineage: DataFrame
+    stages_run: list[str] = field(default_factory=list)
+    stages_skipped: list[str] = field(default_factory=list)
+
+
+class KGPipeline:
+    STAGES = ["extract", "link", "canonicalize", "materialize"]
+
+    def __init__(self, cfg: SerimiConfig, checkpoint_dir: str, run_id: str = "run0"):
+        self.cfg = cfg
+        self.root = os.path.join(checkpoint_dir, run_id)
+        self.run_id = run_id
+        self._state_path = os.path.join(self.root, "_state.json")
+
+    # -- state ---------------------------------------------------------------
+    def _state(self) -> dict:
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                return json.load(f)
+        return {"done": []}
+
+    def _mark_done(self, stage: str) -> None:
+        st = self._state()
+        if stage not in st["done"]:
+            st["done"].append(stage)
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, self._state_path)  # atomic commit
+
+    def _out(self, stage: str, name: str = "out") -> str:
+        return os.path.join(self.root, stage, name)
+
+    def _lineage_append(
+        self,
+        spark: SparkSession,
+        stage: str,
+        rows_in: int,
+        rows_out: int,
+        per_partition: list[tuple[int, int]] | None = None,
+    ) -> None:
+        rows = [(self.run_id, stage, None, rows_in, rows_out, None)]
+        for pid, cnt in per_partition or []:
+            rows.append((self.run_id, stage, pid, None, cnt, "partition_rows_out"))
+        df = spark.createDataFrame(
+            rows,
+            "run_id string, stage string, partition_id int, rows_in long,"
+            " rows_out long, detail string",
+        )
+        df.write.mode("append").parquet(os.path.join(self.root, "lineage"))
+
+    # -- stages ---------------------------------------------------------------
+    def run(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        target: DataFrame,
+        stop_after: str | None = None,
+    ) -> PipelineResult:
+        done = set(self._state()["done"])
+        ran: list[str] = []
+        skipped: list[str] = []
+
+        # -- extract ----------------------------------------------------------
+        ex_path = self._out("extract")
+        if "extract" in done:
+            extracted = spark.read.parquet(ex_path)
+            skipped.append("extract")
+        else:
+            extracted = extract_triples(pages, from_html=False)
+            extracted.write.mode("overwrite").parquet(ex_path)
+            extracted = spark.read.parquet(ex_path)
+            per_part = [
+                (r.pid, r.cnt)
+                for r in extracted.groupBy(
+                    F.spark_partition_id().alias("pid")
+                ).agg(F.count("*").alias("cnt")).collect()
+            ]
+            self._lineage_append(
+                spark, "extract", pages.count(), extracted.count(), per_part
+            )
+            self._mark_done("extract")
+            ran.append("extract")
+        if stop_after == "extract":
+            return self._result(spark, ran, skipped, extracted=extracted)
+
+        # -- link --------------------------------------------------------------
+        al_path = self._out("link")
+        if "link" in done:
+            alignments = spark.read.parquet(al_path)
+            skipped.append("link")
+        else:
+            mentions = mentions_as_source_triples(extracted)
+            link_cfg = self.cfg
+            matcher = SerimiMatcher(link_cfg)
+            res = matcher.run(
+                spark, mentions, target, "mention://class/Entity"
+            )
+            res.alignments.write.mode("overwrite").parquet(al_path)
+            alignments = spark.read.parquet(al_path)
+            self._lineage_append(
+                spark, "link", mentions.count(), alignments.count()
+            )
+            self._mark_done("link")
+            ran.append("link")
+        if stop_after == "link":
+            return self._result(
+                spark, ran, skipped, extracted=extracted, alignments=alignments
+            )
+
+        # -- canonicalize -------------------------------------------------------
+        cc_path = self._out("canonicalize")
+        if "canonicalize" in done:
+            canonical = spark.read.parquet(cc_path)
+            skipped.append("canonicalize")
+        else:
+            sameas_edges = alignments.select(
+                F.col("source").alias("src"), F.col("target").alias("dst")
+            ).unionByName(
+                target.filter(F.col("p") == OWL_SAMEAS).select(
+                    F.col("s").alias("src"), F.col("o").alias("dst")
+                )
+            )
+            redirects = target.filter(F.col("p") == WIKI_REDIRECT).select(
+                F.col("s").alias("src"), F.col("o").alias("dst")
+            )
+            canonical = canonical_mapping(sameas_edges, redirects)
+            canonical.write.mode("overwrite").parquet(cc_path)
+            canonical = spark.read.parquet(cc_path)
+            self._lineage_append(
+                spark, "canonicalize", alignments.count(), canonical.count()
+            )
+            self._mark_done("canonicalize")
+            ran.append("canonicalize")
+        if stop_after == "canonicalize":
+            return self._result(
+                spark, ran, skipped,
+                extracted=extracted, alignments=alignments, canonical=canonical,
+            )
+
+        # -- materialize ---------------------------------------------------------
+        mat_path = self._out("materialize")
+        if "materialize" in done:
+            triples_out = spark.read.parquet(mat_path)
+            skipped.append("materialize")
+        else:
+            ent = F.concat(
+                F.lit("mention://"), F.regexp_replace(F.col("s"), r"\s+", "_")
+            )
+            lifted = extracted.select(
+                ent.alias("s"), "p", "o", "o_is_uri", "src_url"
+            )
+            cmap = canonical.select(
+                F.col("entity").alias("s"), F.col("canonical").alias("s_canon")
+            )
+            triples_out = (
+                lifted.join(cmap, "s", "left")
+                .withColumn("s", F.coalesce("s_canon", "s"))
+                .drop("s_canon")
+                .distinct()
+                # salted, skew-aware layout: hot subjects spread over a
+                # hash bucket column so no single output partition
+                # carries a hot entity's whole fan-in (north_star)
+                .withColumn("bucket", F.pmod(F.xxhash64("s"), F.lit(16)))
+                .repartition("bucket")
+            )
+            triples_out.write.mode("overwrite").partitionBy("bucket").parquet(
+                mat_path
+            )
+            triples_out = spark.read.parquet(mat_path)
+            self._lineage_append(
+                spark, "materialize", extracted.count(), triples_out.count()
+            )
+            self._mark_done("materialize")
+            ran.append("materialize")
+
+        return self._result(
+            spark, ran, skipped,
+            extracted=extracted, alignments=alignments,
+            canonical=canonical, triples_out=triples_out,
+        )
+
+    # -- assembling the result -------------------------------------------------
+    def _result(
+        self,
+        spark: SparkSession,
+        ran: list[str],
+        skipped: list[str],
+        extracted: DataFrame | None = None,
+        alignments: DataFrame | None = None,
+        canonical: DataFrame | None = None,
+        triples_out: DataFrame | None = None,
+    ) -> PipelineResult:
+        empty_al = spark.createDataFrame([], "source string, target string, score double")
+        empty_cc = spark.createDataFrame([], "entity string, canonical string")
+        empty_tr = spark.createDataFrame(
+            [], "s string, p string, o string, o_is_uri boolean, src_url string"
+        )
+        lineage_path = os.path.join(self.root, "lineage")
+        if os.path.exists(lineage_path):
+            lineage = spark.read.parquet(lineage_path)
+        else:
+            lineage = spark.createDataFrame(
+                [],
+                "run_id string, stage string, partition_id int, rows_in long,"
+                " rows_out long, detail string",
+            )
+        return PipelineResult(
+            triples_out=triples_out if triples_out is not None else (extracted or empty_tr),
+            alignments=alignments if alignments is not None else empty_al,
+            canonical_ids=canonical if canonical is not None else empty_cc,
+            lineage=lineage,
+            stages_run=ran,
+            stages_skipped=skipped,
+        )
+
+
+def elapsed(fn, *args, **kwargs):
+    t0 = time.time()
+    out = fn(*args, **kwargs)
+    return out, time.time() - t0
