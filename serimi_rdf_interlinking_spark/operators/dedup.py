@@ -1,0 +1,211 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are pure DataFrame compositions (JVM-side, codegen'd, no
+Python in the hot path) and deterministic, so a SQL oracle can verify
+them value-for-value:
+
+* exact       — hash-groupBy on normalized text (one shuffle);
+* ngram       — word-n-gram shingles → inverted shingle join → exact
+                Jaccard (shuffle on shingle; hot shingles are the skew
+                axis — capped in the LSH variant via banding);
+* minhash+LSH — per-seed min of md5(seed|shingle) → band keys →
+                bucket self-join → Jaccard verify (the scale path: the
+                join fans out only within small buckets);
+* simhash     — 16-bit md5-nibble majority signature, Hamming-ready;
+* embedding   — cosine near-dup within blocking keys.
+
+md5 is used as the deterministic hash everywhere (identical hex output
+in Spark and DuckDB, so oracles reproduce signatures bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm(c) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.lower(F.trim(F.regexp_replace(col, r"[^A-Za-z0-9]+", " ")))
+
+
+def _tokens(c) -> Column:
+    return F.filter(F.split(_norm(c), " "), lambda t: t != F.lit(""))
+
+
+def _shingles(tokens: Column, n: int) -> Column:
+    """Word n-grams; a document shorter than n tokens yields one shingle
+    (its full token string)."""
+    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: canonical row per normalized text = min id.
+    Returns (doc_id, canonical_id, n_copies)."""
+    keyed = docs.select(F.col(id_col), _norm(text_col).alias("k"))
+    canon = keyed.groupBy("k").agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+    return (
+        keyed.join(canon, "k")
+        .select(id_col, "canonical_id", "n_copies")
+        .orderBy(id_col)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard >= threshold.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
+    6 decimals (oracle-stable)."""
+    sh = (
+        docs.select(F.col(id_col).alias("id"), _tokens(text_col).alias("toks"))
+        .select("id", F.explode(F.array_distinct(_shingles(F.col("toks"), n))).alias("sh"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    co = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("co"))
+    )
+    out = (
+        co.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("co") / (F.col("na") + F.col("nb") - F.col("co")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    n: int = 3,
+) -> DataFrame:
+    """(id, seed, minhash) — minhash per seed = lexicographic min of
+    md5('<seed>|' || shingle). String-min over md5 hex is deterministic
+    and engine-portable."""
+    sh = (
+        docs.select(F.col(id_col).alias("id"), _tokens(text_col).alias("toks"))
+        .select("id", F.explode(F.array_distinct(_shingles(F.col("toks"), n))).alias("sh"))
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = sh.select("id", "sh", seeds).withColumn(
+        "h", F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))
+    )
+    return hashed.groupBy("id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH candidate generation + exact Jaccard verification.
+    rows_per_band = num_hashes/bands; candidates share at least one
+    band key. Returns (id_a, id_b, jaccard)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, n)
+    banded = (
+        sig.withColumn("band", F.floor(F.col("seed") / r))
+        .groupBy("id", "band")
+        .agg(F.concat_ws("", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
+    )
+    # NOTE sort_array: seeds within a band are concatenated in sorted
+    # hash order so the key is order-insensitive (engine-portable).
+    a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
+    b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold=0.0)
+    return (
+        cand.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash) — bit i set iff the majority vote of md5-nibble i
+    over the document's tokens (with multiplicity) is 'high' (>= 8)."""
+    toks = docs.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok"))
+    toks = toks.withColumn("h", F.md5("tok"))
+    aggs = []
+    for i in range(bits):
+        nib = F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int")
+        aggs.append(
+            F.sum(F.when(nib >= 8, 1).otherwise(-1)).alias(f"b{i}")
+        )
+    per_doc = toks.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    return per_doc.select("id", sig.alias("simhash")).orderBy("id")
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.98,
+) -> DataFrame:
+    """Cosine near-duplicates within blocking keys (brute force within
+    block; blocks bound the quadratic term). Returns (id_a, id_b, cos)."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    )
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "blk")
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "blk")
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,109 @@
+"""Text analysis over document tables: language-ID, quality scoring,
+token counting, fingerprinting. Pure column expressions (codegen'd);
+each has an exact ANSI-SQL mirror for oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "it"],
+    "pt": ["de", "que", "e", "do", "da", "em", "um", "para", "com", "os"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "im", "ein"],
+}
+
+
+def _tokens(c) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.filter(
+        F.split(F.lower(F.trim(F.regexp_replace(col, r"[^A-Za-z0-9]+", " "))), " "),
+        lambda t: t != F.lit(""),
+    )
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """n-gram/function-word heuristic language ID.
+    Returns (doc_id, lang_pred, lang_hits) — argmax of marker-token
+    hits, ties broken by language code order ('de' < 'en' < 'pt')."""
+    toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
+    aggs = [
+        F.sum(F.when(F.col("tok").isin(words), 1).otherwise(0)).alias(f"hits_{lang}")
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    per_doc = toks.groupBy(id_col).agg(*aggs)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    # first (alphabetical) language reaching the max wins
+    expr = None
+    for lg in langs:
+        cond = F.col(f"hits_{lg}") == best
+        expr = F.when(cond, F.lit(lg)) if expr is None else expr.when(cond, F.lit(lg))
+    return per_doc.select(
+        id_col, expr.alias("lang_pred"), best.cast("long").alias("lang_hits")
+    ).orderBy(id_col)
+
+
+def quality_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality: length, alpha ratio, stopword ratio, mean
+    token length. score = clamped blend in [0,1] (rounded to 6)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_ws = F.length(F.regexp_replace(t, r"[^ ]", ""))
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    en_sw = LANG_MARKERS["en"]
+    n_sw = F.size(F.filter(toks, lambda x: x.isin(en_sw)))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_tok > 0, n_sw / n_tok).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tok > 0, (n_chars - n_ws) / n_tok).otherwise(F.lit(0.0))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    tok_len_score = F.when(
+        (mean_tok_len >= 3) & (mean_tok_len <= 10), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    score = F.round(
+        0.3 * len_score + 0.3 * alpha_ratio + 0.2 * sw_ratio + 0.2 * tok_len_score, 6
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars_m"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        score.alias("quality"),
+    ).orderBy(id_col)
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens): whitespace tokens and a
+    BPE-ish regex token count (word pieces + standalone punctuation)."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit("")))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
+    return docs.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+    ).orderBy(id_col)
+
+
+def fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Document fingerprints: md5 of the normalized text (exact-dup
+    key) and md5 of the sorted distinct token set (bag-of-words key,
+    order/shuffle-insensitive)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]+", " ")))
+    bow = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(text_col))))
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_exact"),
+        F.md5(bow).alias("fp_bow"),
+    ).orderBy(id_col)
