@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` maps SURVEY.md §2 operators onto the driver test tables so
+DuckDB can verify them (`oracle_sql()`); the SERIMI matcher itself runs
+as the flagship path (rows-only checks where SQL cannot express the
+kernels). Every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +11,1086 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: a multi-operator document profile over sf0.001 —
+    exact-dedup canonicalization + fingerprints + language ID + quality
+    scoring joined into one per-document table."""
+    from serimi_rdf_interlinking_spark.operators.dedup import dedup_exact
+    from serimi_rdf_interlinking_spark.operators.textstats import (
+        fingerprint,
+        language_id,
+        quality_score,
+    )
+
+    docs = _read(spark, SF_DEFAULT, "documents")
+    out = (
+        dedup_exact(docs)
+        .join(fingerprint(docs), "doc_id")
+        .join(language_id(docs), "doc_id")
+        .join(quality_score(docs), "doc_id")
+        .orderBy("doc_id")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SERIMI operators mapped onto the test tables
+# ---------------------------------------------------------------------------
+
+
+def q_entropy_label_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 (serimi_class.rb:15-81): per-predicate normalized entropy
+    score |1 - H/ln(n)| over a melted (p,o) view of documents; keep
+    predicates scoring <= mean(score)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = docs.selectExpr("'lang' AS p", "lang AS o").unionByName(
+        docs.selectExpr("'source' AS p", "source AS o")
+    )
+    cnt = pairs.groupBy("p", "o").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("p").agg(F.sum("c").alias("n"))
+    ent = (
+        cnt.join(tot, "p")
+        .groupBy("p")
+        .agg(
+            (-F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))))
+            .alias("h"),
+            F.first("n").alias("n"),
+        )
+        .filter(F.col("n") > 1)
+        .withColumn("score", F.round(F.abs(1 - F.col("h") / F.log("n")), 6))
+    )
+    mean_score = ent.agg(F.avg("score").alias("m"))
+    return (
+        ent.crossJoin(mean_score)
+        .select(
+            "p",
+            "score",
+            (F.col("score") <= F.col("m")).alias("selected"),
+        )
+        .orderBy("p")
+    )
+
+
+def q_stopword_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (serimi_module.rb:280-343): token document-frequency over
+    normalized document text; stop word iff freq >= mean(freq) and
+    len > 1. Returns the flagged tokens with frequencies."""
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.trim(F.regexp_replace("text", r"[^A-Za-z0-9]+", " "))),
+                    " ",
+                ),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok")
+    ).filter(~F.col("tok").rlike(r"^[0-9]"))
+    wc = toks.groupBy("tok").agg(
+        F.round(F.count("*") / F.lit(float(n)), 6).alias("freq")
+    )
+    stats = wc.agg(F.avg("freq").alias("m"))
+    return (
+        wc.crossJoin(stats)
+        .filter((F.col("freq") >= F.col("m")) & (F.length("tok") > 1))
+        .select("tok", "freq")
+        .orderBy(F.desc("freq"), "tok")
+    )
+
+
+def q_text_property_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (serimi_module.rb:2-15): 'text-like' groups = sources whose
+    documents exceed the 400-char threshold anywhere."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.max(F.length("text")).alias("max_len"))
+        .withColumn("is_text_property", F.col("max_len") > 400)
+        .orderBy("source")
+    )
+
+
+def q_property_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (serimi_class.rb:340-371): (user_id, event_type) counts vs the
+    max(mean, stddev_pop) threshold with the >5 gate."""
+    ev = _read(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    stats = cnt.agg(
+        F.avg("c").alias("m"), F.stddev_pop("c").alias("sd")
+    )
+    return (
+        cnt.crossJoin(stats)
+        .withColumn("threshold", F.round(F.greatest("m", "sd"), 6))
+        .withColumn(
+            "overflow", (F.col("c") > F.col("threshold")) & (F.col("threshold") > 5)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("c").alias("max_pair_count"),
+            F.max(F.col("overflow").cast("int")).cast("boolean").alias("flagged"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_restricted_ifp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (serimi_class.rb:375-409): event_type is inverse-functional
+    iff its values are all distinct."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.countDistinct("value").alias("n_distinct"),
+        )
+        .withColumn("is_ifp", F.col("n") == F.col("n_distinct"))
+        .orderBy("event_type")
+    )
+
+
+def q_blocking_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (search_module.rb:33-56): token frequency of customer names,
+    descending — the blocking order key."""
+    cust = _read(spark, sf_dir, "customer")
+    toks = cust.select(
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.trim(F.regexp_replace("c_name", r"[^A-Za-z0-9]+", " "))),
+                    " ",
+                ),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n_subjects"))
+        .orderBy(F.desc("n_subjects"), "tok")
+    )
+
+
+def q_keyword_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 (serimi_module.rb:159-164): keyword hygiene over part names —
+    length cap, paren-strip, distinct."""
+    part = _read(spark, sf_dir, "part")
+    return (
+        part.select(
+            F.rtrim(F.regexp_replace("p_name", r"\(.*$", "")).alias("kw")
+        )
+        .filter((F.length("kw") <= 150) & (F.length("kw") >= 3))
+        .distinct()
+        .orderBy("kw")
+    )
+
+
+def q_group_max_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12/W1 (serimi_module.rb:55-67): per nation keep the customers
+    attaining the group max acctbal (window argmax)."""
+    cust = _read(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey")
+    return (
+        cust.withColumn("max_bal", F.max("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") == F.col("max_bal"))
+        .select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("best_bal"))
+        .orderBy("c_nationkey", "c_custkey")
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/O6 (initializer.rb:247): top-2 orders by totalprice per
+    customer (deterministic tiebreak)."""
+    orders = _read(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+def q_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 core (initializer.rb:200-210): per event_type mean/stddev_pop
+    and the outlier threshold max(mean - stddev, stddev)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("mean_v"),
+            F.round(F.stddev_pop("value"), 6).alias("sd_v"),
+        )
+        .withColumn(
+            "outlier_threshold",
+            F.round(F.greatest(F.col("mean_v") - F.col("sd_v"), F.col("sd_v")), 6),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13/J7 (util/file4.rb:113-139): P/R/F1 of a predicted order set
+    vs a gold order set by join algebra."""
+    orders = _read(spark, sf_dir, "orders")
+    pred = orders.filter(F.col("o_totalprice") > 150000).select("o_orderkey")
+    gold = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    tp = pred.join(gold, "o_orderkey").count()
+    fp = pred.join(gold, "o_orderkey", "left_anti").count()
+    fn = gold.join(pred, "o_orderkey", "left_anti").count()
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * p * r / (p + r) if p and r else 0.0
+    return spark.createDataFrame(
+        [(tp, fp, fn, round(p, 6), round(r, 6), round(f1, 6))],
+        "tp long, fp long, fn long, precision double, recall double, f1 double",
+    )
+
+
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1-E5 (serimi_class.rb:303-337 set algebra): per order — distinct
+    parts, distinct 'hot' parts (intersection with the >10-order part
+    set), and the difference size."""
+    li = _read(spark, sf_dir, "lineitem")
+    hot = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") > 10)
+        .select("l_partkey")
+    )
+    per_order = li.select("l_orderkey", "l_partkey").distinct()
+    inter = per_order.join(hot, "l_partkey").groupBy("l_orderkey").agg(
+        F.count("*").alias("n_hot")
+    )
+    base = per_order.groupBy("l_orderkey").agg(F.count("*").alias("n_parts"))
+    return (
+        base.join(inter, "l_orderkey", "left")
+        .withColumn("n_hot", F.coalesce("n_hot", F.lit(0)))
+        .withColumn("n_diff", F.col("n_parts") - F.col("n_hot"))
+        .orderBy("l_orderkey")
+    )
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/E4 (federation_manager.rb:29-89): union of per-source results
+    + distinct."""
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (
+        nation.select(F.col("n_name").alias("name"))
+        .unionByName(region.select(F.col("r_name").alias("name")))
+        .distinct()
+        .orderBy("name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational core (scan/filter/join/agg/window/sort parity)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation (scan + filter + groupBy + 6 aggs)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (broadcast dims) + aggregation."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-style left-semi + left-anti joins: customers with/without
+    orders per market segment."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_o = cust.join(orders, "c_custkey", "left_semi").groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_with")
+    )
+    without_o = cust.join(orders, "c_custkey", "left_anti").groupBy(
+        "c_mktsegment"
+    ).agg(F.count("*").alias("n_without"))
+    return (
+        with_o.join(without_o, "c_mktsegment", "full")
+        .fillna(0, ["n_with", "n_without"])
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3-style running aggregate: cumulative quantity per supplier in
+    deterministic ship order."""
+    li = _read(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        li.withColumn("running_qty", F.round(F.sum("l_quantity").over(w), 2))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (lag + gap cumsum): sessions with >1h gaps per
+    user — the batch analogue of stateful streaming sessionization."""
+    ev = _read(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        (
+            F.coalesce(
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)),
+                F.lit(10**9),
+            )
+            > 3600
+        ).cast("int"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windowed aggregation (batch analogue of the
+    streaming groupBy(window(...)))."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "bucket", (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")
+        )
+        .groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+        .orderBy("bucket", "event_type")
+    )
+
+
+def q_levenshtein_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 Levenshtein (normalized like simmetrics: 1 - d/maxlen) over
+    same-brand part-name pairs."""
+    part = _read(spark, sf_dir, "part").filter(F.col("p_partkey") <= 40)
+    a = part.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("lev", F.levenshtein("name_a", "name_b"))
+        .withColumn(
+            "sim",
+            F.round(
+                1
+                - F.col("lev")
+                / F.greatest(F.length("name_a"), F.length("name_b")),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "lev", "sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serimi_rdf_interlinking_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serimi_rdf_interlinking_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serimi_rdf_interlinking_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"),
+        num_hashes=12,
+        bands=4,
+        verify_threshold=0.5,
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serimi_rdf_interlinking_spark.operators.dedup import simhash
+
+    return simhash(_read(spark, sf_dir, "documents"), bits=16)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serimi_rdf_interlinking_spark.operators.dedup import embedding_near_dup
+
+    return embedding_near_dup(
+        _read(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serimi_rdf_interlinking_spark.operators.similarity import cosine_topk
+
+    embs = _read(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 8)
+    return cosine_topk(embs, queries, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path — no SQL oracle (bucketing is engine-specific);
+    recall vs the brute-force baseline is asserted in pytest."""
+    from serimi_rdf_interlinking_spark.operators.similarity import ann_lsh_topk
+
+    embs = _read(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 8)
+    return ann_lsh_topk(embs, queries, k=5, n_planes=3, multiprobe=1)
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serimi_rdf_interlinking_spark.operators.textstats import language_id
+
+    return language_id(_read(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serimi_rdf_interlinking_spark.operators.textstats import quality_score
+
+    return quality_score(_read(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serimi_rdf_interlinking_spark.operators.textstats import token_counts
+
+    return token_counts(_read(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serimi_rdf_interlinking_spark.operators.textstats import fingerprint
+
+    return fingerprint(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# SERIMI end-to-end (rows-only: the scoring kernels are not ANSI SQL)
+# ---------------------------------------------------------------------------
+
+
+def q_serimi_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full two-phase matcher on the deterministic interlinking fixture
+    (synthetic per the input-table hint; independent of sf_dir)."""
+    from serimi_rdf_interlinking_spark.config import SerimiConfig
+    from serimi_rdf_interlinking_spark.matcher import SerimiMatcher
+    from serimi_rdf_interlinking_spark.sources.fixtures import (
+        CLASS_CITY,
+        build_interlinking_fixture,
+    )
+    from serimi_rdf_interlinking_spark.sources.triples import TRIPLE_SCHEMA
+
+    fx = build_interlinking_fixture(n_entities=30, seed=7)
+    src = spark.createDataFrame(fx.source, TRIPLE_SCHEMA)
+    tgt = spark.createDataFrame(fx.target, TRIPLE_SCHEMA)
+    cfg = SerimiConfig(chunk=10, topk=1)
+    res = SerimiMatcher(cfg).run(spark, src, tgt, CLASS_CITY)
+    return res.alignments.orderBy("source", "target")
+
+
+def q_advanced_string_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 composite kernel (rows-only): pairwise asm over part names."""
+    from serimi_rdf_interlinking_spark.functions.udfs import asm_udf
+
+    part = _read(spark, sf_dir, "part").filter(F.col("p_partkey") <= 20)
+    a = part.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("na"))
+    b = part.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("asm", F.round(asm_udf(())(F.col("na"), F.col("nb")), 6))
+        .select("id_a", "id_b", "asm")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "entropy_label_select": q_entropy_label_select,
+        "stopword_mining": q_stopword_mining,
+        "text_property_detection": q_text_property_detection,
+        "property_overflow": q_property_overflow,
+        "restricted_ifp": q_restricted_ifp,
+        "blocking_token_freq": q_blocking_token_freq,
+        "keyword_hygiene": q_keyword_hygiene,
+        "group_max_selection": q_group_max_selection,
+        "topk_per_group": q_topk_per_group,
+        "adaptive_threshold": q_adaptive_threshold,
+        "eval_prf": q_eval_prf,
+        "set_operations": q_set_operations,
+        "union_distinct": q_union_distinct,
+        "pricing_summary": q_pricing_summary,
+        "revenue_per_nation": q_revenue_per_nation,
+        "semi_anti_join": q_semi_anti_join,
+        "running_window": q_running_window,
+        "sessionize": q_sessionize,
+        "time_buckets": q_time_buckets,
+        "levenshtein_sim": q_levenshtein_sim,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "serimi_alignment": q_serimi_alignment,
+        "advanced_string_matching": q_advanced_string_matching,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "lower(trim(regexp_replace({col}, '[^A-Za-z0-9]+', ' ', 'g')))"
+_TOKS_SQL = (
+    "list_filter(string_split(" + _NORM_SQL + ", ' '), x -> x <> '')"
+)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    sums = ",\n      ".join(
+        "sum(CASE WHEN substr(h, {i}, 1) IN ('8','9','a','b','c','d','e','f')"
+        " THEN 1 ELSE -1 END) AS b{j}".format(i=i + 1, j=i)
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(bits)
+    )
+    toks = _TOKS_SQL.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({toks}) AS tok FROM documents
+), hashed AS (
+  SELECT id, md5(tok) AS h FROM toks
+), bitsums AS (
+  SELECT id, {sums} FROM hashed GROUP BY id
+)
+SELECT id, ({sig})::BIGINT AS simhash FROM bitsums ORDER BY id
+"""
+
+
+def _shingle_cte(n: int = 3) -> str:
+    toks = _TOKS_SQL.format(col="text")
+    return f"""
+tokd AS (
+  SELECT doc_id AS id, {toks} AS toks FROM documents
+), shingled AS (
+  SELECT id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(toks) - {n - 1}, 1) + 1),
+      i -> array_to_string(toks[i:i+{n - 1}], ' ')))) AS sh
+  FROM tokd
+)"""
+
+
+def _ngram_pairs_sql(n: int, threshold: float) -> str:
+    return f"""
+WITH {_shingle_cte(n)},
+sizes AS (SELECT id, count(*) AS n_sh FROM shingled GROUP BY id),
+co AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS co
+  FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(co / (sa.n_sh + sb.n_sh - co), 6) AS jaccard
+FROM co
+JOIN sizes sa ON sa.id = co.id_a
+JOIN sizes sb ON sb.id = co.id_b
+WHERE round(co / (sa.n_sh + sb.n_sh - co), 6) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def _minhash_lsh_sql(num_hashes: int, bands: int, n: int, thr: float) -> str:
+    r = num_hashes // bands
+    return f"""
+WITH {_shingle_cte(n)},
+sig AS (
+  SELECT id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS minhash
+  FROM shingled, range({num_hashes}) t(seed)
+  GROUP BY id, seed
+),
+banded AS (
+  SELECT id, (seed // {r}) AS band,
+         string_agg(minhash, '' ORDER BY minhash) AS band_key
+  FROM sig GROUP BY id, (seed // {r})
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM shingled GROUP BY id),
+co AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS co
+  FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT c.id_a, c.id_b,
+       round(co.co / (sa.n_sh + sb.n_sh - co.co), 6) AS jaccard
+FROM cand c
+JOIN co ON co.id_a = c.id_a AND co.id_b = c.id_b
+JOIN sizes sa ON sa.id = c.id_a
+JOIN sizes sb ON sb.id = c.id_b
+WHERE round(co.co / (sa.n_sh + sb.n_sh - co.co), 6) >= {thr}
+ORDER BY c.id_a, c.id_b
+"""
+
+
+def _langid_sql() -> str:
+    from serimi_rdf_interlinking_spark.operators.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    toks = _TOKS_SQL.format(col="text")
+    hit_cols = ",\n      ".join(
+        "sum(CASE WHEN tok IN ({lst}) THEN 1 ELSE 0 END) AS hits_{lg}".format(
+            lst=", ".join(f"'{w}'" for w in LANG_MARKERS[lg]), lg=lg
+        )
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN hits_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents
+), hits AS (
+  SELECT doc_id, {hit_cols} FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {case} AS lang_pred, {best}::BIGINT AS lang_hits
+FROM hits ORDER BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm_doc = _NORM_SQL.format(col="text")
+    toks_doc = _TOKS_SQL.format(col="text")
+    toks_cust = _TOKS_SQL.format(col="c_name")
+    sql: dict[str, str] = {}
+
+    sql["entropy_label_select"] = """
+WITH pairs AS (
+  SELECT 'lang' AS p, lang AS o FROM documents
+  UNION ALL SELECT 'source' AS p, source AS o FROM documents
+), cnt AS (SELECT p, o, count(*) AS c FROM pairs GROUP BY p, o),
+tot AS (SELECT p, sum(c) AS n FROM cnt GROUP BY p),
+ent AS (
+  SELECT cnt.p,
+         -sum((c / n) * ln(c / n)) AS h,
+         any_value(n) AS n
+  FROM cnt JOIN tot ON cnt.p = tot.p
+  GROUP BY cnt.p HAVING any_value(n) > 1
+), scored AS (
+  SELECT p, round(abs(1 - h / ln(n)), 6) AS score FROM ent
+)
+SELECT p, score, score <= (SELECT avg(score) FROM scored) AS selected
+FROM scored ORDER BY p
+"""
+
+    sql["stopword_mining"] = f"""
+WITH toks AS (
+  SELECT unnest({toks_doc}) AS tok FROM documents
+), filt AS (
+  SELECT tok FROM toks WHERE NOT regexp_matches(tok, '^[0-9]')
+), wc AS (
+  SELECT tok,
+         round(count(*) / (SELECT count(*)::DOUBLE FROM documents), 6) AS freq
+  FROM filt GROUP BY tok
+)
+SELECT tok, freq FROM wc
+WHERE freq >= (SELECT avg(freq) FROM wc) AND length(tok) > 1
+ORDER BY freq DESC, tok
+"""
+
+    sql["text_property_detection"] = """
+SELECT source, max(length(text)) AS max_len,
+       max(length(text)) > 400 AS is_text_property
+FROM documents GROUP BY source ORDER BY source
+"""
+
+    sql["property_overflow"] = """
+WITH cnt AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+), stats AS (
+  SELECT avg(c) AS m, stddev_pop(c) AS sd FROM cnt
+), flagged AS (
+  SELECT event_type, c,
+         round(greatest(m, sd), 6) AS threshold,
+         (c > round(greatest(m, sd), 6) AND round(greatest(m, sd), 6) > 5) AS ov
+  FROM cnt, stats
+)
+SELECT event_type, max(c) AS max_pair_count,
+       max(ov::INT)::BOOLEAN AS flagged
+FROM flagged GROUP BY event_type ORDER BY event_type
+"""
+
+    sql["restricted_ifp"] = """
+SELECT event_type, count(value) AS n, count(DISTINCT value) AS n_distinct,
+       count(value) = count(DISTINCT value) AS is_ifp
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+    sql["blocking_token_freq"] = f"""
+WITH toks AS (
+  SELECT unnest({toks_cust}) AS tok FROM customer
+)
+SELECT tok, count(*) AS n_subjects FROM toks
+GROUP BY tok ORDER BY n_subjects DESC, tok
+"""
+
+    sql["keyword_hygiene"] = r"""
+WITH kws AS (
+  SELECT DISTINCT rtrim(regexp_replace(p_name, '\(.*$', '')) AS kw FROM part
+)
+SELECT kw FROM kws WHERE length(kw) <= 150 AND length(kw) >= 3 ORDER BY kw
+"""
+
+    sql["group_max_selection"] = """
+WITH w AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         max(c_acctbal) OVER (PARTITION BY c_nationkey) AS max_bal
+  FROM customer
+)
+SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS best_bal
+FROM w WHERE c_acctbal = max_bal ORDER BY c_nationkey, c_custkey
+"""
+
+    sql["topk_per_group"] = """
+WITH w AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk
+FROM w WHERE rk <= 2 ORDER BY o_custkey, rk
+"""
+
+    sql["adaptive_threshold"] = """
+SELECT event_type,
+       round(avg(value), 6) AS mean_v,
+       round(stddev_pop(value), 6) AS sd_v,
+       round(greatest(avg(value) - stddev_pop(value), stddev_pop(value)), 6)
+         AS outlier_threshold
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+    sql["eval_prf"] = """
+WITH pred AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000),
+gold AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+m AS (
+  SELECT
+    (SELECT count(*) FROM pred WHERE o_orderkey IN (SELECT o_orderkey FROM gold)) AS tp,
+    (SELECT count(*) FROM pred WHERE o_orderkey NOT IN (SELECT o_orderkey FROM gold)) AS fp,
+    (SELECT count(*) FROM gold WHERE o_orderkey NOT IN (SELECT o_orderkey FROM pred)) AS fn
+)
+SELECT tp, fp, fn,
+  round(CASE WHEN tp + fp = 0 THEN 0 ELSE tp / (tp + fp)::DOUBLE END, 6) AS precision,
+  round(CASE WHEN tp + fn = 0 THEN 0 ELSE tp / (tp + fn)::DOUBLE END, 6) AS recall,
+  round(CASE WHEN tp = 0 THEN 0 ELSE
+    2.0 * (tp / (tp + fp)::DOUBLE) * (tp / (tp + fn)::DOUBLE)
+      / ((tp / (tp + fp)::DOUBLE) + (tp / (tp + fn)::DOUBLE)) END, 6) AS f1
+FROM m
+"""
+
+    sql["set_operations"] = """
+WITH per_order AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+hot AS (
+  SELECT l_partkey FROM lineitem
+  GROUP BY l_partkey HAVING count(DISTINCT l_orderkey) > 10
+),
+base AS (SELECT l_orderkey, count(*) AS n_parts FROM per_order GROUP BY l_orderkey),
+inter AS (
+  SELECT l_orderkey, count(*) AS n_hot FROM per_order
+  WHERE l_partkey IN (SELECT l_partkey FROM hot) GROUP BY l_orderkey
+)
+SELECT b.l_orderkey, b.n_parts, coalesce(i.n_hot, 0) AS n_hot,
+       b.n_parts - coalesce(i.n_hot, 0) AS n_diff
+FROM base b LEFT JOIN inter i ON b.l_orderkey = i.l_orderkey
+ORDER BY b.l_orderkey
+"""
+
+    sql["union_distinct"] = """
+SELECT DISTINCT name FROM (
+  SELECT n_name AS name FROM nation
+  UNION ALL SELECT r_name AS name FROM region
+) ORDER BY name
+"""
+
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+    sql["revenue_per_nation"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+    sql["semi_anti_join"] = """
+WITH w AS (
+  SELECT c_mktsegment, count(*) AS n_with FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+  GROUP BY c_mktsegment
+), wo AS (
+  SELECT c_mktsegment, count(*) AS n_without FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+  GROUP BY c_mktsegment
+)
+SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+       coalesce(n_with, 0) AS n_with, coalesce(n_without, 0) AS n_without
+FROM w FULL JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+    sql["running_window"] = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+FROM lineitem
+ORDER BY l_suppkey, l_orderkey, l_linenumber
+"""
+
+    sql["sessionize"] = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN coalesce(epoch(ts) - epoch(lag(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)), 1000000000) > 3600
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+    sql["time_buckets"] = """
+SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS bucket, event_type,
+       count(*) AS n, round(sum(value), 4) AS v
+FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type
+"""
+
+    sql["levenshtein_sim"] = """
+WITH p AS (SELECT p_partkey, p_name, p_brand FROM part WHERE p_partkey <= 40)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       levenshtein(a.p_name, b.p_name) AS lev,
+       round(1 - levenshtein(a.p_name, b.p_name)
+             / greatest(length(a.p_name), length(b.p_name))::DOUBLE, 6) AS sim
+FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+ORDER BY id_a, id_b
+"""
+
+    sql["dedup_exact"] = f"""
+WITH keyed AS (SELECT doc_id, {norm_doc} AS k FROM documents),
+canon AS (
+  SELECT k, min(doc_id) AS canonical_id, count(*) AS n_copies
+  FROM keyed GROUP BY k
+)
+SELECT keyed.doc_id, canonical_id, n_copies
+FROM keyed JOIN canon ON keyed.k = canon.k
+ORDER BY keyed.doc_id
+"""
+
+    sql["dedup_ngram_jaccard"] = _ngram_pairs_sql(3, 0.5)
+    sql["dedup_minhash_lsh"] = _minhash_lsh_sql(12, 4, 3, 0.5)
+    sql["simhash"] = _simhash_sql(16)
+
+    sql["embedding_near_dup"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+         AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+      >= 0.3
+ORDER BY id_a, id_b
+"""
+
+    sql["cosine_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))), 6) AS cos
+  FROM q, embeddings e WHERE q.query_id <> e.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rk FROM ranked
+WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+    sql["language_id"] = _langid_sql()
+
+    sql["quality_score"] = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^ ]', '', 'g')) AS n_ws,
+         {toks_doc} AS toks
+  FROM documents
+), feats AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_chars > 0 THEN n_alpha / n_chars::DOUBLE ELSE 0 END AS alpha_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','with','for','it')))
+             / len(toks)::DOUBLE ELSE 0 END AS sw_ratio,
+         CASE WHEN len(toks) > 0 THEN (n_chars - n_ws) / len(toks)::DOUBLE ELSE 0 END AS mtl
+  FROM base
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars_m,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(sw_ratio, 6) AS stopword_ratio,
+       round(0.3 * least(n_chars / 500.0, 1.0) + 0.3 * alpha_ratio
+             + 0.2 * sw_ratio
+             + 0.2 * (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.5 END), 6)
+         AS quality
+FROM feats ORDER BY doc_id
+"""
+
+    sql["token_counts"] = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))::BIGINT
+         AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+         AS bpe_ish_tokens
+FROM documents ORDER BY doc_id
+"""
+
+    sql["fingerprint"] = f"""
+WITH base AS (
+  SELECT doc_id, {norm_doc} AS norm,
+         array_to_string(list_sort(list_distinct({toks_doc})), ' ') AS bow
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS fp_exact, md5(bow) AS fp_bow
+FROM base ORDER BY doc_id
+"""
+
+    return sql
