@@ -569,9 +569,9 @@ def q_serimi_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serimi_rdf_interlinking_spark.sources.triples import TRIPLE_SCHEMA
 
     fx = build_interlinking_fixture(n_entities=30, seed=7)
-    src = spark.createDataFrame(fx.source, TRIPLE_SCHEMA)
-    tgt = spark.createDataFrame(fx.target, TRIPLE_SCHEMA)
-    cfg = SerimiConfig(chunk=10, topk=1)
+    src = spark.createDataFrame(fx.source, TRIPLE_SCHEMA).repartition(4).localCheckpoint()
+    tgt = spark.createDataFrame(fx.target, TRIPLE_SCHEMA).repartition(4).localCheckpoint()
+    cfg = SerimiConfig(chunk=10, topk=1, shuffle_partitions=4)
     res = SerimiMatcher(cfg).run(spark, src, tgt, CLASS_CITY)
     return res.alignments.orderBy("source", "target")
 

@@ -1,0 +1,204 @@
+"""Two-parallelism-level scaling evidence (north_rule: throughput
+scaling efficiency >= 0.8 from N to 4N executors; evidenced here per
+the driver instruction by running the identical job at local[8] and
+local[32] on the same input).
+
+The scaling job is the compute-bound core of the pipeline — page
+triple extraction (Arrow mapInPandas) plus the dedup/fingerprint suite
+(md5 shingling, minhash, simhash — JVM codegen) — over a generated
+~200k-page corpus, large enough that per-core work dominates fixed
+JVM/job overheads.
+
+Usage:
+  python bench_scaling.py            # orchestrates both runs, writes
+                                     # BENCH/BASELINE.md, prints JSON
+  python bench_scaling.py --run 8    # one measured run (subprocess)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+CORPUS_DIR = os.environ.get("SERIMI_SCALE_CORPUS", "/tmp/serimi_scale_corpus")
+N_PAGES = int(os.environ.get("SERIMI_SCALE_PAGES", "200000"))
+LOW, HIGH = 8, 32
+
+
+def ensure_corpus(spark) -> None:
+    """Deterministic synthetic corpus (seeded templates; no external
+    data), written once with enough partitions for the wide run."""
+    marker = os.path.join(CORPUS_DIR, "_SUCCESS_MARKER")
+    if os.path.exists(marker):
+        return
+    from pyspark.sql import functions as F
+
+    names = ["barton", "corville", "dalberg", "fenmont", "garfield",
+             "holwick", "jasdale", "kelmore", "lorton", "marfield"]
+    countries = ["argovia", "belmora", "cordia", "dalmena", "estria"]
+    regions = ["north", "south", "east", "west", "central"]
+    df = (
+        spark.range(N_PAGES)
+        .withColumn("name", F.element_at(F.array(*[F.lit(x) for x in names]),
+                                         (F.col("id") % 10 + 1).cast("int")))
+        .withColumn("country", F.element_at(F.array(*[F.lit(x) for x in countries]),
+                                            (F.col("id") % 5 + 1).cast("int")))
+        .withColumn("region", F.element_at(F.array(*[F.lit(x) for x in regions]),
+                                           (F.col("id") % 25 / 5 + 1).cast("int")))
+        .withColumn("pop", (10000 + F.col("id") * 137).cast("string"))
+        .withColumn("url", F.concat(F.lit("https://scale.test/p/"), F.col("id")))
+        .withColumn(
+            "text",
+            F.concat(
+                F.col("name"), F.lit(" "), F.col("id").cast("string"),
+                F.lit(" is a settlement in "), F.col("country"),
+                F.lit(". It lies in the "), F.col("region"),
+                F.lit(" region. Its population is "), F.col("pop"),
+                F.lit(". The town of "), F.col("name"),
+                F.lit(" has archives mentioning trade, festivals and the"
+                      " old bridge across the valley built by masons."),
+            ),
+        )
+        .select("url", "text")
+        .repartition(64)
+    )
+    df.write.mode("overwrite").parquet(os.path.join(CORPUS_DIR, "pages"))
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def scaling_job(spark) -> dict:
+    """The measured job: extraction + dedup/fingerprint suite."""
+    from pyspark.sql import functions as F
+
+    from serimi_rdf_interlinking_spark.extract import extract_triples
+    from serimi_rdf_interlinking_spark.operators.dedup import (
+        minhash_signatures,
+        simhash,
+    )
+    from serimi_rdf_interlinking_spark.operators.textstats import (
+        fingerprint,
+        language_id,
+        quality_score,
+    )
+
+    pages = spark.read.parquet(os.path.join(CORPUS_DIR, "pages"))
+    pages = pages.withColumn("doc_id", F.xxhash64("url"))
+    n_pages = pages.count()
+
+    t0 = time.time()
+    n_triples = extract_triples(pages.select("url", "text")).count()
+    t_extract = time.time() - t0
+
+    t0 = time.time()
+    n_sig = minhash_signatures(pages, id_col="doc_id", num_hashes=12).count()
+    n_sim = simhash(pages, id_col="doc_id").count()
+    n_fp = fingerprint(pages, id_col="doc_id").count()
+    n_lang = language_id(pages, id_col="doc_id").count()
+    n_q = quality_score(pages, id_col="doc_id").count()
+    t_dedup = time.time() - t0
+
+    return {
+        "n_pages": n_pages,
+        "n_triples": n_triples,
+        "n_rows_dedup_suite": n_sig + n_sim + n_fp + n_lang + n_q,
+        "t_extract": round(t_extract, 3),
+        "t_dedup_suite": round(t_dedup, 3),
+        "t_total": round(t_extract + t_dedup, 3),
+    }
+
+
+def measured_run(cpus: int) -> None:
+    from serimi_rdf_interlinking_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"serimi-scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    ensure_corpus(spark)
+    stats = scaling_job(spark)
+    stats["cpus"] = cpus
+    print("RESULT " + json.dumps(stats), flush=True)
+    spark.stop()
+
+
+def orchestrate() -> None:
+    results = {}
+    for cpus in (LOW, HIGH):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
+            capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT "):
+                results[cpus] = json.loads(line[len("RESULT "):])
+        if cpus not in results:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"run at local[{cpus}] produced no RESULT")
+
+    lo, hi = results[LOW], results[HIGH]
+    speedup = lo["t_total"] / hi["t_total"]
+    efficiency = speedup / (HIGH / LOW)
+    tp_lo = lo["n_pages"] / lo["t_total"]
+    tp_hi = hi["n_pages"] / hi["t_total"]
+    tr_lo = lo["n_triples"] / lo["t_total"]
+    tr_hi = hi["n_triples"] / hi["t_total"]
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — two-parallelism-level scaling evidence
+
+Per the north_rule (throughput scaling efficiency >= 0.8 from N to 4N
+executors) evidenced in this sandbox by the same job at two local
+parallelism levels on the same input (driver instruction; no real
+cluster available).
+
+**Job**: triple extraction (Arrow mapInPandas) + dedup/fingerprint
+suite (minhash md5-shingling, simhash, fingerprints, language-ID,
+quality) over a deterministic synthetic corpus of {lo['n_pages']:,}
+pages ({lo['n_triples']:,} extracted triples). Identical input parquet
+(64 partitions), identical code, fresh JVM per run.
+
+| parallelism | wall clock (s) | extract (s) | dedup suite (s) | pages/s | triples/s |
+|---|---|---|---|---|---|
+| local[{LOW}]  | {lo['t_total']} | {lo['t_extract']} | {lo['t_dedup_suite']} | {tp_lo:,.0f} | {tr_lo:,.0f} |
+| local[{HIGH}] | {hi['t_total']} | {hi['t_extract']} | {hi['t_dedup_suite']} | {tp_hi:,.0f} | {tr_hi:,.0f} |
+
+**Speedup {LOW}->{HIGH} cores: {speedup:.2f}x; scaling efficiency
+(T{LOW}/T{HIGH})/{HIGH // LOW} = {efficiency:.3f}** (target >= 0.8).
+
+Config: AQE on, shuffle.partitions = cores, fixed seed corpus,
+spark.ui disabled; measured after corpus generation (excluded from
+timing).
+"""
+        )
+    out = {
+        "metric": "scaling_efficiency_8_to_32_cores",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "queries": {
+            f"local{LOW}_sec": lo["t_total"],
+            f"local{HIGH}_sec": hi["t_total"],
+            "pages_per_sec_low": round(tp_lo, 1),
+            "pages_per_sec_high": round(tp_hi, 1),
+        },
+        "sf": "scale_corpus",
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--run":
+        measured_run(int(sys.argv[2]))
+    else:
+        orchestrate()

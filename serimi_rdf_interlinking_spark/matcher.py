@@ -256,25 +256,68 @@ class SerimiMatcher:
     ) -> MatchResult:
         cfg = self.cfg
 
+        # right-size the shuffle width for this workload: at fixture
+        # scale 32-way shuffles cost more in task scheduling than they
+        # gain; on real corpora set cfg.shuffle_partitions to the
+        # cluster's parallelism. Restored after the run.
+        overrides = {
+            "spark.sql.shuffle.partitions": str(cfg.shuffle_partitions),
+            **cfg.extra.get("spark_conf", {}),
+        }
+        saved = {k: spark.conf.get(k, None) for k in overrides}
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        try:
+            return self._run(spark, source, target, class_uri)
+        finally:
+            for k, v in saved.items():
+                if v is not None:
+                    spark.conf.set(k, v)
+
+    def _run(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        target: DataFrame,
+        class_uri: str,
+    ) -> MatchResult:
+        import os
+        import time
+
+        cfg = self.cfg
+        timing = os.environ.get("SERIMI_TIMING") == "1"
+        t0 = time.time()
+
+        def tick(label: str) -> None:
+            nonlocal t0
+            if timing:
+                print(f"[serimi {label}: {time.time() - t0:.1f}s]", flush=True)
+            t0 = time.time()
+
         members = class_members(source, class_uri)
         sample = collect_class_sample(source, members, cfg.class_sample_limit)
         labels, _sample_textp = select_entity_labels(
             sample, cfg.text_property_len
         )
+        tick("labels")
         stopwords = mine_stopwords(source, members, labels)
+        tick("stopwords")
 
         ranked = self._mat(blocking_order(source, members, labels, cfg), "ranked")
         keywords = self._mat(
             prepare_keywords(source, ranked, labels, cfg), "keywords"
         )
+        tick("blocking+keywords")
 
         # warm-up chunk: any-predicate search (wbwp == ['?p'])
         index_all = self._mat(build_token_index(target, None, cfg), "index_all")
         kw0 = keywords.filter(F.col("chunk_id") == 0)
         cr0 = self._retrieve(kw0, index_all, target, None, None, stopwords, "warm")
+        tick("warm retrieve")
         textp, search_preds, warm_rows = self._warmup(
             cr0, source, target, stopwords
         )
+        tick("warmup kernel")
 
         # batched remaining chunks with the learned predicate cascade
         kwN = keywords.filter(F.col("chunk_id") >= 1)
@@ -286,9 +329,11 @@ class SerimiMatcher:
         else:
             index, tiers = index_all, None  # fallback: nothing learned
         crN = self._retrieve(kwN, index, target, tiers, textp, stopwords, "main")
+        tick("main retrieve")
         chunk_input = self._mat(
             self._chunk_input(crN, source, target), "chunk_input"
         )
+        tick("chunk input")
 
         kernel = make_chunk_kernel(
             textp,
@@ -307,6 +352,7 @@ class SerimiMatcher:
             warm_df = spark.createDataFrame(warm_rows, CHUNK_OUTPUT_SCHEMA)
             scored = warm_df.unionByName(scored)
         scored = self._mat(scored, "scored")
+        tick("rds kernel")
 
         alignments = (
             scored.filter("accepted")
