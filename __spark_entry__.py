@@ -646,9 +646,12 @@ _TOKS_SQL = (
 
 
 def _simhash_sql(bits: int = 16) -> str:
+    # per-row form mirroring the shuffle-free Spark plan (empty-token
+    # docs keep signature 0 instead of being dropped by an unnest)
     sums = ",\n      ".join(
-        "sum(CASE WHEN substr(h, {i}, 1) IN ('8','9','a','b','c','d','e','f')"
-        " THEN 1 ELSE -1 END) AS b{j}".format(i=i + 1, j=i)
+        "coalesce(list_sum(list_transform(hs, h -> CASE WHEN substr(h, {i}, 1)"
+        " IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)), 0)"
+        " AS b{j}".format(i=i + 1, j=i)
         for i in range(bits)
     )
     sig = " + ".join(
@@ -656,12 +659,10 @@ def _simhash_sql(bits: int = 16) -> str:
     )
     toks = _TOKS_SQL.format(col="text")
     return f"""
-WITH toks AS (
-  SELECT doc_id AS id, unnest({toks}) AS tok FROM documents
-), hashed AS (
-  SELECT id, md5(tok) AS h FROM toks
+WITH hashed AS (
+  SELECT doc_id AS id, list_transform({toks}, t -> md5(t)) AS hs FROM documents
 ), bitsums AS (
-  SELECT id, {sums} FROM hashed GROUP BY id
+  SELECT id, {sums} FROM hashed
 )
 SELECT id, ({sig})::BIGINT AS simhash FROM bitsums ORDER BY id
 """
@@ -700,17 +701,26 @@ ORDER BY id_a, id_b
 
 
 def _minhash_lsh_sql(num_hashes: int, bands: int, n: int, thr: float) -> str:
+    from serimi_rdf_interlinking_spark.operators.dedup import _XOR_SEEDS
+
     r = num_hashes // bands
+    seed_values = ", ".join(
+        f"({s}, {_XOR_SEEDS[s]})" for s in range(num_hashes)
+    )
     return f"""
 WITH {_shingle_cte(n)},
+hashed AS (
+  SELECT id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS x
+  FROM shingled
+),
 sig AS (
-  SELECT id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS minhash
-  FROM shingled, range({num_hashes}) t(seed)
+  SELECT id, seed, min(xor(x, k)) AS minhash
+  FROM hashed, (VALUES {seed_values}) t(seed, k)
   GROUP BY id, seed
 ),
 banded AS (
   SELECT id, (seed // {r}) AS band,
-         string_agg(minhash, '' ORDER BY minhash) AS band_key
+         string_agg(minhash::VARCHAR, '-' ORDER BY minhash) AS band_key
   FROM sig GROUP BY id, (seed // {r})
 ),
 cand AS (
@@ -741,7 +751,7 @@ def _langid_sql() -> str:
     langs = sorted(LANG_MARKERS)
     toks = _TOKS_SQL.format(col="text")
     hit_cols = ",\n      ".join(
-        "sum(CASE WHEN tok IN ({lst}) THEN 1 ELSE 0 END) AS hits_{lg}".format(
+        "len(list_filter(toks, t -> t IN ({lst})))::BIGINT AS hits_{lg}".format(
             lst=", ".join(f"'{w}'" for w in LANG_MARKERS[lg]), lg=lg
         )
         for lg in langs
@@ -751,10 +761,10 @@ def _langid_sql() -> str:
         f"WHEN hits_{lg} = {best} THEN '{lg}'" for lg in langs
     ) + " END"
     return f"""
-WITH toks AS (
-  SELECT doc_id, unnest({toks}) AS tok FROM documents
+WITH tokd AS (
+  SELECT doc_id, {toks} AS toks FROM documents
 ), hits AS (
-  SELECT doc_id, {hit_cols} FROM toks GROUP BY doc_id
+  SELECT doc_id, {hit_cols} FROM tokd
 )
 SELECT doc_id, {case} AS lang_pred, {best}::BIGINT AS lang_hits
 FROM hits ORDER BY doc_id

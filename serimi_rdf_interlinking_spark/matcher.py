@@ -246,6 +246,109 @@ class SerimiMatcher:
             ]
         return textp, search_preds, score_rows
 
+    # -- reference-parity sequential chunk loop (pivots) -------------------
+    def _run_sequential_chunks(
+        self,
+        chunk_input: DataFrame,
+        textp: list[str],
+        stopwords: tuple[str, ...],
+    ) -> list[tuple]:
+        """mode='sequential': ordered driver loop with the pivot FIFO
+        carried across chunks (serimi_class.rb:279-298,
+        initializer.rb:173-179). Chunks collect one at a time — this is
+        the parity mode, not the scale path.
+        """
+        from collections import deque
+
+        from .operators import rds_core
+
+        cfg = self.cfg
+        rows = chunk_input.filter(F.col("chunk_id") >= 1).collect()
+        by_chunk: dict[int, list] = {}
+        for r in rows:
+            by_chunk.setdefault(int(r.chunk_id), []).append(r)
+
+        pivot_groups: deque = deque()
+        pivot_labels: deque = deque()
+        pivot_subjects: list[str] = []
+        out: list[tuple] = []
+
+        for chunk_id in sorted(by_chunk):
+            crs = by_chunk[chunk_id]
+            srcs_ranked = sorted({(int(r.rank), r.src) for r in crs if r.role == "cand"})
+            groups, origins, searched = [], [], []
+            for _rank, src in srcs_ranked:
+                groups.append(
+                    sorted(
+                        {
+                            (r.cand, r.p, r.o, bool(r.o_is_uri))
+                            for r in crs
+                            if r.role == "cand" and r.src == src
+                        }
+                    )
+                )
+                origins.append(
+                    sorted(
+                        {
+                            (r.p, r.o, bool(r.o_is_uri))
+                            for r in crs
+                            if r.role == "origin" and r.src == src
+                        }
+                    )
+                )
+                searched.append(
+                    sorted({r.p for r in crs if r.role == "kw" and r.src == src})
+                )
+
+            filtered, _disc = rds_core.entity_label_filtering(
+                groups, searched, textp, stopwords,
+                cfg.string_threshold, cfg.entropy_group_presence,
+            )
+            keep = [i for i, g in enumerate(filtered) if g]
+            groups2 = [filtered[i] for i in keep]
+            origins2 = [origins[i] for i in keep]
+            searched2 = [searched[i] for i in keep]
+            srcs2 = [srcs_ranked[i][1] for i in keep]
+            if len(groups2) <= 1:
+                continue
+
+            pg = list(pivot_groups)
+            pl = list(pivot_labels)
+            all_groups = groups2 + pg
+            all_searched = searched2 + pl
+            res = rds_core.rds_score(
+                all_groups, origins2, textp, cfg.overflow_min_threshold
+            )
+            # pivot updates (add_pivot, serimi_class.rb:279-298)
+            if cfg.use_pivot:
+                for gidx, sidx in res.pivot_hits:
+                    spivot = res.subjects[gidx][sidx]
+                    if len(pivot_groups) > cfg.pivot_fifo:
+                        break
+                    if spivot in pivot_subjects:
+                        continue
+                    grp = [t for t in all_groups[gidx] if t[0] == spivot]
+                    pivot_groups.append(grp)
+                    pivot_labels.append(
+                        all_searched[gidx] if gidx < len(all_searched) else []
+                    )
+                    pivot_subjects.append(spivot)
+                    if len(pivot_groups) > cfg.pivot_fifo:
+                        pivot_groups.popleft()
+                        pivot_labels.popleft()
+                        pivot_subjects.pop(0)
+
+            n = len(groups2)
+            scores = res.normalized[:n]
+            thresholds = rds_core.rds_thresholds(
+                scores, topk=cfg.topk, rds_threshold=cfg.rds_threshold
+            )
+            for gidx in range(n):
+                t = thresholds[gidx]
+                for s, v in zip(res.subjects[gidx], scores[gidx]):
+                    out.append((chunk_id, srcs2[gidx], s, v, t, v >= t))
+        return out
+
     # -- the pipeline -------------------------------------------------------
     def run(
         self,
@@ -335,22 +438,28 @@ class SerimiMatcher:
         )
         tick("chunk input")
 
-        kernel = make_chunk_kernel(
-            textp,
-            stopwords,
-            topk=cfg.topk,
-            rds_threshold=cfg.rds_threshold,
-            filter_threshold=cfg.string_threshold,
-            overflow_min=cfg.overflow_min_threshold,
-            group_presence=cfg.entropy_group_presence,
-            dbpedia=cfg.dbpedia_target,
-        )
-        scored = chunk_input.groupBy("chunk_id").applyInPandas(
-            kernel, CHUNK_OUTPUT_SCHEMA
-        )
-        if warm_rows:
-            warm_df = spark.createDataFrame(warm_rows, CHUNK_OUTPUT_SCHEMA)
-            scored = warm_df.unionByName(scored)
+        if cfg.mode == "sequential" or cfg.use_pivot:
+            seq_rows = self._run_sequential_chunks(chunk_input, textp, stopwords)
+            scored = spark.createDataFrame(
+                warm_rows + seq_rows, CHUNK_OUTPUT_SCHEMA
+            )
+        else:
+            kernel = make_chunk_kernel(
+                textp,
+                stopwords,
+                topk=cfg.topk,
+                rds_threshold=cfg.rds_threshold,
+                filter_threshold=cfg.string_threshold,
+                overflow_min=cfg.overflow_min_threshold,
+                group_presence=cfg.entropy_group_presence,
+                dbpedia=cfg.dbpedia_target,
+            )
+            scored = chunk_input.groupBy("chunk_id").applyInPandas(
+                kernel, CHUNK_OUTPUT_SCHEMA
+            )
+            if warm_rows:
+                warm_df = spark.createDataFrame(warm_rows, CHUNK_OUTPUT_SCHEMA)
+                scored = warm_df.unionByName(scored)
         scored = self._mat(scored, "scored")
         tick("rds kernel")
 

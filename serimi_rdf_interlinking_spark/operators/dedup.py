@@ -33,6 +33,18 @@ def _tokens(c) -> Column:
     return F.filter(F.split(_norm(c), " "), lambda t: t != F.lit(""))
 
 
+# fixed 60-bit XOR mixing constants for the minhash family: the first
+# 15 hex chars of md5("seed:<s>") — deterministic, embedded identically
+# in the SQL oracles.
+def _xor_seed(s: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"seed:{s}".encode()).hexdigest()[:15], 16)
+
+
+_XOR_SEEDS = [_xor_seed(s) for s in range(64)]
+
+
 def _shingles(tokens: Column, n: int) -> Column:
     """Word n-grams; a document shorter than n tokens yields one shingle
     (its full token string)."""
@@ -40,6 +52,26 @@ def _shingles(tokens: Column, n: int) -> Column:
     return F.transform(
         F.sequence(F.lit(1), count),
         lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+
+
+def _shingle_rows(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, sh) distinct word-n-gram rows; token-less docs yield one ''
+    shingle via the array shingler's greatest(...,1) floor.
+
+    Shape note (measured on a 200k-doc corpus): a window-lead shingler
+    (posexplode + lead()) is codegen'd but pays a full shuffle to sort
+    tokens per doc plus a distinct shuffle — measured slower than this
+    per-row array shingler despite the latter's interpreted
+    slice+concat lambdas. Allocation rate, not instruction count,
+    bounds both; the array form moves no data."""
+    return docs.select(
+        F.col(id_col).alias("id"), _tokens(text_col).alias("toks")
+    ).select(
+        "id",
+        F.explode(F.array_distinct(_shingles(F.col("toks"), n))).alias("sh"),
     )
 
 
@@ -67,10 +99,7 @@ def ngram_jaccard_pairs(
     """Near-dup pairs by exact n-gram Jaccard >= threshold.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
     6 decimals (oracle-stable)."""
-    sh = (
-        docs.select(F.col(id_col).alias("id"), _tokens(text_col).alias("toks"))
-        .select("id", F.explode(F.array_distinct(_shingles(F.col("toks"), n))).alias("sh"))
-    )
+    sh = _shingle_rows(docs, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")
@@ -103,16 +132,47 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, seed, minhash) — minhash per seed = lexicographic min of
     md5('<seed>|' || shingle). String-min over md5 hex is deterministic
-    and engine-portable."""
-    sh = (
-        docs.select(F.col(id_col).alias("id"), _tokens(text_col).alias("toks"))
-        .select("id", F.explode(F.array_distinct(_shingles(F.col("toks"), n))).alias("sh"))
+    and engine-portable.
+
+    Shape notes (measured on a 200k-doc corpus, 8 vs 32 threads):
+    * per-row higher-order functions avoid shuffles entirely but md5
+      runs through interpreted lambda closures — ~40x slower; rejected.
+    * explode to (id, shingle, seed) + groupBy(id, seed): codegen'd but
+      the shuffle carries docs x seeds string rows and stays flat at
+      12-13s regardless of cores; rejected.
+    * STRING min columns + groupBy(id): min(string) needs object
+      aggregation buffers -> ObjectHashAggregate falls back to sort —
+      3.7x slower; rejected.
+    * this shape: ONE md5 per shingle parsed to BIGINT from its first
+      15 hex chars (identical in DuckDB via ('0x'||substr)::BIGINT),
+      then `num_hashes` XOR-mixed variants (fixed 60-bit constants) —
+      integer columns end-to-end, so the per-doc min aggregates use
+      primitive buffers: true whole-stage-codegen HashAggregate,
+      map-side combined, one docs-sized shuffle. The XOR family is a
+      weaker hash family than independent md5s, which only affects LSH
+      candidate recall — candidates are always verified with exact
+      Jaccard downstream."""
+    sh = _shingle_rows(docs, id_col, text_col, n)
+    x = (
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("x")
     )
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    hashed = sh.select("id", "sh", seeds).withColumn(
-        "h", F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))
+    base = sh.select("id", x)
+    hcols = [
+        F.col("x").bitwiseXOR(F.lit(_XOR_SEEDS[s])).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    hashed = base.select("id", *hcols)
+    grouped = hashed.groupBy("id").agg(
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)]
     )
-    return hashed.groupBy("id", "seed").agg(F.min("h").alias("minhash"))
+    return grouped.select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"m{s}") for s in range(num_hashes)])).alias(
+            "seed", "minhash"
+        ),
+    ).select("id", F.col("seed").cast("long").alias("seed"), "minhash")
 
 
 def minhash_lsh_pairs(
@@ -130,13 +190,21 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, n)
+    # hashes within a band concatenate in numeric-sorted order so the
+    # key is order-insensitive (engine-portable)
     banded = (
         sig.withColumn("band", F.floor(F.col("seed") / r))
         .groupBy("id", "band")
-        .agg(F.concat_ws("", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.sort_array(F.collect_list("minhash")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("band_key")
+        )
     )
-    # NOTE sort_array: seeds within a band are concatenated in sorted
-    # hash order so the key is order-insensitive (engine-portable).
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
     cand = (
@@ -161,7 +229,13 @@ def simhash(
     bits: int = 16,
 ) -> DataFrame:
     """(id, simhash) — bit i set iff the majority vote of md5-nibble i
-    over the document's tokens (with multiplicity) is 'high' (>= 8)."""
+    over the document's tokens (with multiplicity) is 'high' (>= 8).
+
+    explode + 16 conditional sums: the sums partial-aggregate map-side
+    (one pre-aggregated row per doc crosses the shuffle) and the md5 +
+    nibble tests run in whole-stage codegen. Empty-token documents get
+    signature 0 via the outer join back to the id universe."""
+    ids = docs.select(F.col(id_col).alias("id"))
     toks = docs.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok"))
     toks = toks.withColumn("h", F.md5("tok"))
     aggs = []
@@ -174,7 +248,12 @@ def simhash(
     sig = F.lit(0).cast("long")
     for i in range(bits):
         sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
-    return per_doc.select("id", sig.alias("simhash")).orderBy("id")
+    per_doc = per_doc.select("id", sig.alias("simhash"))
+    return (
+        ids.join(per_doc, "id", "left")
+        .withColumn("simhash", F.coalesce("simhash", F.lit(0)))
+        .orderBy("id")
+    )
 
 
 def embedding_near_dup(

@@ -28,13 +28,20 @@ def language_id(
 ) -> DataFrame:
     """n-gram/function-word heuristic language ID.
     Returns (doc_id, lang_pred, lang_hits) — argmax of marker-token
-    hits, ties broken by language code order ('de' < 'en' < 'pt')."""
-    toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
-    aggs = [
-        F.sum(F.when(F.col("tok").isin(words), 1).otherwise(0)).alias(f"hits_{lang}")
-        for lang, words in sorted(LANG_MARKERS.items())
-    ]
-    per_doc = toks.groupBy(id_col).agg(*aggs)
+    hits, ties broken by language code order ('de' < 'en' < 'pt').
+
+    Per-row marker counts (array filter on the token array): a pure
+    scan, no explode+groupBy shuffle."""
+    toks = docs.select(F.col(id_col), _tokens(text_col).alias("toks"))
+    per_doc = toks.select(
+        id_col,
+        *[
+            F.size(
+                F.filter(F.col("toks"), lambda t: t.isin(words))
+            ).cast("long").alias(f"hits_{lang}")
+            for lang, words in sorted(LANG_MARKERS.items())
+        ],
+    )
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
     # first (alphabetical) language reaching the max wins
