@@ -92,9 +92,14 @@ def _force(df) -> int:
 
     row = df.select(
         F.count("*").alias("n"),
-        # sum of a hash over every column: count(non-null-expr) would be
-        # rewritten to count(*) and the projection pruned; sum cannot.
-        F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+        # sum of a (mod-reduced, ANSI-overflow-safe) hash over every
+        # column: count(non-null-expr) would be rewritten to count(*)
+        # and the projection pruned; sum cannot.
+        F.sum(
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1_000_000)
+            )
+        ).alias("h"),
     ).collect()[0]
     return int(row.n)
 
@@ -176,18 +181,51 @@ def scaling_job(spark) -> dict:
         make_chunk_kernel,
     )
 
+    base = pages.limit(100000).select(
+        F.pmod(F.col("doc_id"), F.lit(50000)).alias("src_id"),
+        F.col("doc_id"),
+        "text",
+    )
+    src_col = F.concat(F.lit("src:"), F.col("src_id").cast("string"))
+    cand_rows = base.select(
+        F.pmod(F.col("src_id"), F.lit(5000)).alias("chunk_id"),
+        F.col("src_id").alias("rank"),
+        src_col.alias("src"),
+        F.lit("cand").alias("role"),
+        F.concat(
+            F.lit("cand:"), F.pmod(F.col("doc_id"), F.lit(200000)).cast("string")
+        ).alias("cand"),
+        F.split("text", " ")[3].alias("p"),
+        F.split("text", " ")[6].alias("o"),
+        F.lit(False).alias("o_is_uri"),
+    )
+    per_src = base.dropDuplicates(["src_id"])
+    origin_rows = per_src.select(
+        F.pmod(F.col("src_id"), F.lit(5000)).alias("chunk_id"),
+        F.col("src_id").alias("rank"),
+        src_col.alias("src"),
+        F.lit("origin").alias("role"),
+        F.lit("").alias("cand"),
+        F.lit("p:country").alias("p"),
+        F.split("text", " ")[6].alias("o"),
+        F.lit(False).alias("o_is_uri"),
+    )
+    # searched labels: the country token (matches some candidate
+    # literals exactly, so F12 selection survives and the quadratic RDS
+    # comparison actually runs — the disambiguation hot path)
+    kw_rows = per_src.select(
+        F.pmod(F.col("src_id"), F.lit(5000)).alias("chunk_id"),
+        F.col("src_id").alias("rank"),
+        src_col.alias("src"),
+        F.lit("kw").alias("role"),
+        F.lit("").alias("cand"),
+        F.split("text", " ")[6].alias("p"),
+        F.lit("").alias("o"),
+        F.lit(False).alias("o_is_uri"),
+    )
     chunk_rows = (
-        pages.limit(100000)
-        .select(
-            (F.col("doc_id") % 5000).alias("chunk_id"),
-            (F.col("doc_id") % 100000).alias("rank"),
-            F.concat(F.lit("src:"), (F.col("doc_id") % 100).cast("string")).alias("src"),
-            F.lit("cand").alias("role"),
-            F.concat(F.lit("cand:"), F.col("doc_id").cast("string")).alias("cand"),
-            F.split("text", " ")[3].alias("p"),
-            F.split("text", " ")[6].alias("o"),
-            F.lit(False).alias("o_is_uri"),
-        )
+        cand_rows.unionByName(origin_rows)
+        .unionByName(kw_rows)
         .repartition(64)
         .localCheckpoint(eager=True)
     )

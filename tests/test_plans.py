@@ -1,0 +1,94 @@
+"""Physical-plan checks: predicate pushdown reaches the parquet scan,
+small dimensions broadcast, the dedup hot path stays JVM-side (no
+Python eval in the plan), and column pruning keeps scans narrow."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.filter(F.col("l_shipdate") <= "1995-01-01").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_in_read_schema(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    # the scan must read only the projected columns
+    assert "l_orderkey" in plan and "l_quantity" in plan
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    import __spark_entry__ as E
+
+    df = E.q_revenue_per_nation(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_plan_has_no_python(spark):
+    from serimi_rdf_interlinking_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (simhash(docs), minhash_lsh_pairs(docs)):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "HashAggregate" in plan
+    # the signature hot path must use primitive agg buffers, never the
+    # object-buffer fallback (which degrades to sort-based aggregation);
+    # the LSH band step legitimately uses collect_list (object buffers)
+    assert "ObjectHashAggregate" not in _plan(simhash(docs))
+
+
+def test_semi_join_is_semi_in_plan(spark):
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    df = cust.join(orders, "c_custkey", "left_semi")
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+
+
+def test_matcher_kernel_is_arrow_not_row_python(spark, triple_dfs):
+    """The chunk kernel must enter the plan as FlatMapGroupsInPandas
+    (Arrow), never row-at-a-time BatchEvalPython (input_hint)."""
+    from serimi_rdf_interlinking_spark.operators.rds import (
+        CHUNK_OUTPUT_SCHEMA,
+        make_chunk_kernel,
+    )
+
+    src, _ = triple_dfs
+    rows = src.limit(10).select(
+        F.lit(0).cast("long").alias("chunk_id"),
+        F.lit(0).cast("long").alias("rank"),
+        F.col("s").alias("src"),
+        F.lit("cand").alias("role"),
+        F.col("s").alias("cand"),
+        "p",
+        "o",
+        "o_is_uri",
+    )
+    kernel = make_chunk_kernel([], ())
+    df = rows.groupBy("chunk_id").applyInPandas(kernel, CHUNK_OUTPUT_SCHEMA)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
