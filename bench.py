@@ -60,6 +60,24 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
 
+    from pyspark.sql import functions as F
+
+    def force(df) -> int:
+        """Force full evaluation: a bare count() lets Catalyst prune
+        per-row projections / cardinality-preserving joins (and
+        count(non-null expr) simplifies to count(*)), so we sum a
+        mod-reduced hash of every column."""
+        row = df.select(
+            F.count("*").alias("n"),
+            F.sum(
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in df.columns]),
+                    F.lit(1_000_000),
+                )
+            ).alias("h"),
+        ).collect()[0]
+        return int(row.n)
+
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     total = 0.0
@@ -67,7 +85,7 @@ def main() -> None:
         fn = qs[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = df.count()
+        n = force(df)
         dt = round(time.time() - t0, 3)
         timings[name] = dt
         total += dt
