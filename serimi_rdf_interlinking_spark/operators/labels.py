@@ -116,9 +116,51 @@ def mine_stopwords_for_label(
 def mine_stopwords(
     triples: DataFrame, members: DataFrame, labels: list[str]
 ) -> tuple[str, ...]:
+    """All labels in one pass (two Spark jobs total instead of three per
+    label): per-label value counts, token frequencies and stats come
+    from a single grouped aggregation; the per-label volatility gate
+    and ordering are applied driver-side on the (small) collected token
+    stats."""
+    vals = (
+        triples.join(members, "s", "left_semi")
+        .filter(F.col("p").isin(labels))
+        .select(F.col("p").alias("label"), "o")
+    )
+    n_by_label = {
+        r.label: r.n
+        for r in vals.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    if not n_by_label:
+        return ()
+    n_map = F.create_map(
+        *[x for k, v in n_by_label.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    toks = vals.select(
+        "label", F.explode(norm_tokens("o")).alias("tok")
+    ).filter(~is_numericish_col("tok"))
+    wc = toks.groupBy("label", "tok").agg(
+        (F.count("*") / n_map[F.col("label")]).alias("v")
+    )
+    stats = wc.groupBy("label").agg(
+        F.avg("v").alias("m"), F.stddev_pop("v").alias("sd")
+    )
+    flagged = (
+        wc.join(stats, "label")
+        .filter(
+            (F.col("sd") >= F.col("m") * 2)  # per-label volatility gate
+            & (F.col("v") >= F.col("m"))
+            & (F.length("tok") > 1)
+        )
+        .select("label", "tok")
+        .collect()  # only the stop words come to the driver
+    )
+    by_label: dict[str, set[str]] = {}
+    for r in flagged:
+        by_label.setdefault(r.label, set()).add(r.tok)
     out: list[str] = []
-    for label in labels:
-        out.extend(mine_stopwords_for_label(triples, members, label))
+    for label in labels:  # reference iterates labels in order
+        sw = sorted(by_label.get(label, ()), key=lambda x: (-len(x), x))
+        out.extend(sw)
     return tuple(dict.fromkeys(out))
 
 
