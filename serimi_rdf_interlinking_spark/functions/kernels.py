@@ -226,6 +226,147 @@ def simm_soundex(a: str, b: str) -> float:
     return simm_jaro_winkler(simm_soundex_code(a), simm_soundex_code(b))
 
 
+def simm_needleman_wunch(a: str, b: str, gap_cost: float = 2.0) -> float:
+    """simmetrics NeedlemanWunch (default gap 2.0, 0/1 substitution).
+
+    Quirk preserved: the DP's first row/column cost 1 per position (not
+    gap_cost) — leading/trailing runs are cheaper than interior gaps."""
+    la, lb = len(a), len(b)
+    prev = [float(j) for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        cur = [float(i)] + [0.0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0.0 if ca == b[j - 1] else 1.0
+            cur[j] = min(prev[j] + gap_cost, cur[j - 1] + gap_cost, prev[j - 1] + cost)
+        prev = cur
+    nw = prev[lb]
+    mx = float(max(la, lb))
+    max_value = mx * max(1.0, gap_cost)
+    min_value = mx * min(0.0, gap_cost)
+    if max_value == min_value:
+        return 1.0
+    return 1.0 - (nw - min_value) / (max_value - min_value)
+
+
+def simm_smith_waterman(a: str, b: str, gap_cost: float = 0.5) -> float:
+    """simmetrics SmithWaterman (gap 0.5; match +1, mismatch -2):
+    best local alignment score / (min(|a|,|b|) * 1); 1.0 when a side is
+    empty."""
+    la, lb = len(a), len(b)
+    denom = float(min(la, lb)) * max(1.0, -gap_cost)
+    if denom == 0:
+        return 1.0
+    best = 0.0
+    d = [[0.0] * lb for _ in range(la)]
+    for j in range(lb):
+        cost = 1.0 if a[0] == b[j] else -2.0
+        left = 0.0 if j == 0 else d[0][j - 1]
+        d[0][j] = max(0.0, left - gap_cost, cost)
+        best = max(best, d[0][j])
+    for i in range(1, la):
+        cost = 1.0 if a[i] == b[0] else -2.0
+        d[i][0] = max(0.0, d[i - 1][0] - gap_cost, cost)
+        best = max(best, d[i][0])
+    for i in range(1, la):
+        for j in range(1, lb):
+            cost = 1.0 if a[i] == b[j] else -2.0
+            d[i][j] = max(
+                0.0,
+                d[i - 1][j] - gap_cost,
+                d[i][j - 1] - gap_cost,
+                d[i - 1][j - 1] + cost,
+            )
+            if d[i][j] > best:
+                best = d[i][j]
+    return best / denom
+
+
+# SubCost5_3_Minus3 approximate-character classes (from the simmetrics
+# cost table): same-class lowercase pairs score +3 instead of -3.
+_APPROX_SETS = [
+    {"d", "t"}, {"g", "j"}, {"l", "r"}, {"m", "n"},
+    {"b", "p", "v"}, {"a", "e", "i", "o", "u"}, {",", "."},
+]
+
+
+def _sub_cost_5_3_m3(a: str, i: int, b: str, j: int) -> float:
+    if i < 0 or i >= len(a) or j < 0 or j >= len(b):
+        return -3.0
+    if a[i] == b[j]:
+        return 5.0
+    c1, c2 = a[i].lower(), b[j].lower()
+    for s in _APPROX_SETS:
+        if c1 in s and c2 in s:
+            return 3.0
+    return -3.0
+
+
+def _affine_gap_5_1(i: int, j: int) -> float:
+    """AffineGap5_1: gap from index i to j costs 5 + (j-1-i); 0 if i>=j."""
+    if i >= j:
+        return 0.0
+    return 5.0 + (j - 1 - i)
+
+
+def simm_smith_waterman_gotoh(a: str, b: str, window: int = 100) -> float:
+    """simmetrics SmithWatermanGotoh (windowed affine gaps 5+1/char,
+    substitution +5/+3/-3): best score / (min(|a|,|b|) * 5)."""
+    la, lb = len(a), len(b)
+    denom = float(min(la, lb)) * 5.0
+    if denom == 0:
+        return 1.0
+    d = [[0.0] * lb for _ in range(la)]
+    best = 0.0
+    for j in range(lb):
+        cost = _sub_cost_5_3_m3(a, 0, b, j)
+        if j == 0:
+            d[0][0] = max(0.0, cost)
+        else:
+            max_gap = 0.0
+            for k in range(max(1, j - window), j):
+                max_gap = max(max_gap, d[0][j - k] - _affine_gap_5_1(j - k, j))
+            d[0][j] = max(0.0, max_gap, cost)
+        best = max(best, d[0][j])
+    for i in range(1, la):
+        cost = _sub_cost_5_3_m3(a, i, b, 0)
+        max_gap = 0.0
+        for k in range(max(1, i - window), i):
+            max_gap = max(max_gap, d[i - k][0] - _affine_gap_5_1(i - k, i))
+        d[i][0] = max(0.0, max_gap, cost)
+        best = max(best, d[i][0])
+    for i in range(1, la):
+        for j in range(1, lb):
+            cost = _sub_cost_5_3_m3(a, i, b, j)
+            max_gap1 = 0.0
+            for k in range(max(1, i - window), i):
+                max_gap1 = max(max_gap1, d[i - k][j] - _affine_gap_5_1(i - k, i))
+            max_gap2 = 0.0
+            for k in range(max(1, j - window), j):
+                max_gap2 = max(max_gap2, d[i][j - k] - _affine_gap_5_1(j - k, j))
+            d[i][j] = max(0.0, max_gap1, max_gap2, d[i - 1][j - 1] + cost)
+            if d[i][j] > best:
+                best = d[i][j]
+    return best / denom
+
+
+def simm_monge_elkan(a: str, b: str) -> float:
+    """simmetrics MongeElkan: mean over a's whitespace tokens of the
+    best SmithWatermanGotoh score against b's tokens (asymmetric;
+    NaN-shaped 0-token edge mirrored as 0.0)."""
+    a_toks = a.split()
+    b_toks = b.split()
+    if not a_toks:
+        return float("nan")
+    total = 0.0
+    for x in a_toks:
+        best = 0.0
+        for y in b_toks:
+            best = max(best, simm_smith_waterman_gotoh(x, y))
+        total += best
+    return total / len(a_toks)
+
+
 def get_similarity(a: str, b: str, metric: str) -> float:
     """T4 bridge (extension_module.rb:50-104); metric names as used by
     the reference ('SOUDEX' typo included)."""
@@ -240,6 +381,12 @@ def get_similarity(a: str, b: str, metric: str) -> float:
         return simm_levenshtein(a, b)
     if m in ("SOUDEX", "SOUNDEX"):
         return simm_soundex(a, b)
+    if m == "SMITHWATERMAN":
+        return simm_smith_waterman(a, b)
+    if m == "NEEDLEMAN":
+        return simm_needleman_wunch(a, b)
+    if m == "MONGEELKAN":
+        return simm_monge_elkan(a, b)
     raise ValueError(f"unknown metric {metric!r}")
 
 
