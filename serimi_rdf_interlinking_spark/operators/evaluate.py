@@ -42,3 +42,39 @@ def evaluate_alignment(predicted: DataFrame, gold: DataFrame) -> PRF:
     fp = p.join(g, ["source", "target"], "left_anti").count()
     fn = g.join(p, ["source", "target"], "left_anti").count()
     return PRF(tp=tp, fp=fp, fn=fn)
+
+
+def recall_diagnosis(
+    predicted: DataFrame, gold: DataFrame, searched: DataFrame | None = None
+) -> DataFrame:
+    """Recall breakdown per the reference's recall() analysis
+    (util/file4.rb:144-168): for each missed gold pair, classify whether
+    the source was never searched (blocking/label gap) or searched but
+    mis-resolved (candidate/disambiguation gap).
+
+    searched: one-column (source) frame of sources the matcher
+    attempted (e.g. MatchResult.scores.select('src')). Returns
+    (source, target, reason) for the false negatives.
+    """
+    from pyspark.sql import functions as F
+
+    p = predicted.select("source", "target").distinct()
+    g = gold.select("source", "target").distinct()
+    missed = g.join(p, ["source", "target"], "left_anti")
+    if searched is None:
+        return missed.withColumn("reason", F.lit("missed"))
+    s = (
+        searched.select(F.col(searched.columns[0]).alias("source"))
+        .distinct()
+        .withColumn("was_searched", F.lit(True))
+    )
+    return (
+        missed.join(s, "source", "left")
+        .withColumn(
+            "reason",
+            F.when(F.col("was_searched"), F.lit("searched_but_unresolved")).otherwise(
+                F.lit("never_searched")
+            ),
+        )
+        .select("source", "target", "reason")
+    )

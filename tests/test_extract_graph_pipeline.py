@@ -212,3 +212,21 @@ def test_pipeline_triples_pr_vs_reference_semantics(
         if not any(g[1] == p and g[2] == o for g in got):
             missing += 1
     assert missing == 0
+
+
+def test_recall_diagnosis(spark):
+    from serimi_rdf_interlinking_spark.operators.evaluate import recall_diagnosis
+
+    pred = spark.createDataFrame([("s1", "t1")], ["source", "target"])
+    gold = spark.createDataFrame(
+        [("s1", "t1"), ("s2", "t2"), ("s3", "t3")], ["source", "target"]
+    )
+    searched = spark.createDataFrame([("s1",), ("s2",)], ["src"])
+    rows = {
+        (r.source, r.reason)
+        for r in recall_diagnosis(pred, gold, searched).collect()
+    }
+    assert rows == {
+        ("s2", "searched_but_unresolved"),
+        ("s3", "never_searched"),
+    }
