@@ -46,27 +46,35 @@ class Fixture:
     sameas: list[tuple[str, str]] = field(default_factory=list)
 
 
-def _city_name(rng: random.Random) -> str:
+def _city_name(rng: random.Random, three_syllables: bool = False) -> str:
+    if three_syllables:
+        return rng.choice(_SYL1) + rng.choice(_SYL1) + rng.choice(_SYL2)
     return rng.choice(_SYL1) + rng.choice(_SYL2)
 
 
-def _variant(rng: random.Random, name: str) -> str:
-    """Surface variants the string kernels must absorb (FIXTURES.md §2)."""
+def _variant(rng: random.Random, name: str) -> tuple[str, str | None]:
+    """(primary label, optional extra label) — surface variants the
+    string kernels must absorb (FIXTURES.md §2). Accented forms come as
+    an ADDITIONAL label next to the clean one: under the reference's
+    byte-level normalization an accented character folds to a space
+    (extension_module.rb:47 applies /\\W/ before removeaccents), so an
+    accent-only single-token label is unfindable by construction — for
+    both engines. Real datasets carry multiple rdfs:labels."""
     roll = rng.random()
     if roll < 0.25:
-        return name.title()
+        return name.title(), None
     if roll < 0.40:
-        return name.replace(" ", "_")
+        return name.replace(" ", "_"), None
     if roll < 0.55:
-        return name + " (settlement)"   # paren-strip F8
+        return name + " (settlement)", None   # paren-strip F8
     if roll < 0.65:
         parts = name.split()
         if len(parts) >= 2:
-            return parts[0][0] + " " + " ".join(parts[1:])  # initial, T6
-        return name
+            return parts[0][0] + " " + " ".join(parts[1:]), None  # initial, T6
+        return name, None
     if roll < 0.75:
-        return name.replace("a", "á", 1)  # accent fold, T2
-    return name
+        return name, name.replace("a", "á", 1)  # accent alias, T2
+    return name, None
 
 
 def build_interlinking_fixture(n_entities: int = 60, seed: int = 7,
@@ -80,11 +88,14 @@ def build_interlinking_fixture(n_entities: int = 60, seed: int = 7,
     rng = random.Random(seed)
     fx = Fixture()
 
-    # distinct base names; a fraction reused by homonym noise entities
+    # distinct base names; a fraction reused by homonym noise entities.
+    # the 2-syllable space has only len(_SYL1)*len(_SYL2) combinations —
+    # switch to 3 syllables once it is half-exhausted.
     names: list[str] = []
     seen = set()
+    two_syl_cap = len(_SYL1) * len(_SYL2) // 2
     while len(names) < n_entities:
-        nm = _city_name(rng)
+        nm = _city_name(rng, three_syllables=len(names) >= two_syl_cap)
         if nm not in seen:
             seen.add(nm)
             names.append(nm)
@@ -97,9 +108,11 @@ def build_interlinking_fixture(n_entities: int = 60, seed: int = 7,
         pop = str(10000 + i * 137)
         founded = f"{1400 + (i * 13) % 500}-0{1 + i % 9}-1{i % 9}"
 
-        label = _variant(rng, name)
+        label, extra_label = _variant(rng, name)
         fx.source.append((s, RDF_TYPE, CLASS_CITY, True, False))
         fx.source.append((s, RDFS_LABEL, label, False, False))
+        if extra_label:
+            fx.source.append((s, RDFS_LABEL, extra_label, False, False))
         fx.source.append((s, f"{SRC_ONT}country", country, False, False))
         fx.source.append((s, f"{SRC_ONT}region", region, False, False))
         fx.source.append((s, f"{SRC_ONT}population", pop, False, False))

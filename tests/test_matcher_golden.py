@@ -42,3 +42,22 @@ def test_scores_have_thresholds(match_result):
     assert rows
     for r in rows:
         assert r.threshold is not None
+
+
+def test_matcher_medium_scale(spark):
+    """Batch-mode chunk parallelism at ~20 chunks (400 entities):
+    quality holds and wall-clock stays bounded."""
+    from serimi_rdf_interlinking_spark.sources.fixtures import (
+        build_interlinking_fixture,
+    )
+    from serimi_rdf_interlinking_spark.sources.triples import TRIPLE_SCHEMA
+
+    fx = build_interlinking_fixture(n_entities=400, seed=11)
+    src = spark.createDataFrame(fx.source, TRIPLE_SCHEMA).repartition(8).localCheckpoint()
+    tgt = spark.createDataFrame(fx.target, TRIPLE_SCHEMA).repartition(8).localCheckpoint()
+    cfg = SerimiConfig(chunk=20, topk=1, shuffle_partitions=8)
+    res = SerimiMatcher(cfg).run(spark, src, tgt, CLASS_CITY)
+    gold = spark.createDataFrame(fx.gold, ["source", "target"])
+    prf = evaluate_alignment(res.alignments, gold)
+    assert prf.precision >= 0.95, (prf.tp, prf.fp, prf.fn)
+    assert prf.recall >= 0.95, (prf.tp, prf.fp, prf.fn)
