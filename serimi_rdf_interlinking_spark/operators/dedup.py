@@ -7,10 +7,15 @@ them value-for-value:
 * exact       — hash-groupBy on normalized text (one shuffle);
 * ngram       — word-n-gram shingles → inverted shingle join → exact
                 Jaccard (shuffle on shingle; hot shingles are the skew
-                axis — capped in the LSH variant via banding);
+                axis — guarded by the max_shingle_df ceiling, which
+                broadcast-anti-joins away shingles whose document
+                frequency makes the self-join quadratic, with the drop
+                count logged);
 * minhash+LSH — per-seed min of md5(seed|shingle) → band keys →
-                bucket self-join → Jaccard verify (the scale path: the
-                join fans out only within small buckets);
+                bucket self-join → exact-Jaccard verify bounded to the
+                candidate pairs (the scale path: both the bucket join
+                and the verify are linear in candidates, never
+                all-pairs);
 * simhash     — 16-bit md5-nibble majority signature, Hamming-ready;
 * embedding   — cosine near-dup within blocking keys.
 
@@ -20,8 +25,12 @@ in Spark and DuckDB, so oracles reproduce signatures bit-for-bit).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 def _norm(c) -> Column:
@@ -89,17 +98,60 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _jaccard_from_counts() -> Column:
+    return F.round(
+        F.col("co") / (F.col("na") + F.col("nb") - F.col("co")), 6
+    )
+
+
+def _join_sizes(co: DataFrame, sizes: DataFrame) -> DataFrame:
+    return co.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")),
+        "id_a",
+    ).join(
+        sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")),
+        "id_b",
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard >= threshold.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
-    6 decimals (oracle-stable)."""
+    6 decimals (oracle-stable).
+
+    ``max_shingle_df`` is the hot-shingle skew guard: a shingle present
+    in more docs than the ceiling is dropped BEFORE the inverted
+    self-join (it contributes ~0 to near-dup Jaccard but its join
+    fan-out is quadratic in document frequency — one shingle shared by
+    1M docs alone produces 5e11 candidate rows). Dropped shingles are
+    excluded from the per-doc sizes too, so Jaccard stays an exact
+    set similarity over the kept shingle universe; the count of dropped
+    shingles is logged (no silent caps). The hot set is tiny (df above
+    the ceiling), so it is broadcast for the anti-join."""
     sh = _shingle_rows(docs, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .persist()
+        )
+        n_hot = hot.count()
+        if n_hot:
+            log.warning(
+                "ngram_jaccard_pairs: dropping %d hot shingles with "
+                "document frequency > %d before the inverted join",
+                n_hot,
+                max_shingle_df,
+            )
+        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")
@@ -110,12 +162,8 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("co"))
     )
     out = (
-        co.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("co") / (F.col("na") + F.col("nb") - F.col("co")), 6),
-        )
+        _join_sizes(co, sizes)
+        .withColumn("jaccard", _jaccard_from_counts())
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
@@ -213,9 +261,30 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold=0.0)
+    # Exact-Jaccard verification bounded to LSH candidates: the
+    # co-occurrence join is keyed THROUGH the candidate pair list
+    # (join on id_a, then on (id_b, sh)), so its work is linear in
+    # |candidates| x shingles-per-doc — never the all-pairs inverted
+    # self-join LSH exists to avoid (which a naive verify-then-filter
+    # would run over every pair sharing any shingle). cand is consumed
+    # by exactly one downstream join: multiple consumers would make
+    # Spark re-execute the whole minhash pipeline once per consumer
+    # (measured 22 parquet scans in a 3-consumer variant, and a persist
+    # races against itself when the consumers run inside one action).
+    # Per-doc sizes are computed over ALL docs instead of semi-joining
+    # to candidates — one map-side-combined, doc-count-sized aggregate,
+    # cheaper at every scale than re-deriving cand for the semi-join.
+    sh = _shingle_rows(docs, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    co = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("co"))
+    )
     return (
-        cand.join(exact, ["id_a", "id_b"])
+        _join_sizes(co, sizes)
+        .withColumn("jaccard", _jaccard_from_counts())
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")

@@ -146,3 +146,63 @@ def test_fingerprint_bow_order_insensitive(spark):
     assert fp[1].fp_bow == fp[2].fp_bow
     assert fp[1].fp_exact != fp[2].fp_exact
     assert fp[1].fp_bow != fp[3].fp_bow
+
+
+def test_ngram_hot_shingle_guard_drops_and_logs(spark, caplog):
+    """A shingle shared by every doc is dropped by the df-ceiling (with a
+    logged count); Jaccard is recomputed over the kept shingle universe."""
+    import logging
+
+    common = "alpha beta gamma"  # one hot shingle in every doc
+    rows = [(i, f"{common} unique{i} tail{i} end{i}") for i in range(10)]
+    rows += [(100, "the quick brown fox jumps"), (101, "the quick brown fox leaps")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with caplog.at_level(logging.WARNING, logger="serimi_rdf_interlinking_spark.operators.dedup"):
+        pairs = D.ngram_jaccard_pairs(df, threshold=0.3, max_shingle_df=5).collect()
+    assert any("hot shingles" in r.message for r in caplog.records)
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # the synthetic near-dup pair survives; the hot-shingle family does
+    # not pair up once its only shared shingle is dropped
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got)
+
+
+def test_lsh_verify_is_candidate_bounded(docs):
+    """Regression tooth for the round-1 scale-killer: the exact-Jaccard
+    verification inside minhash_lsh_pairs must never run the bare
+    all-pairs shingle self-join (join keyed on sh alone)."""
+    import re
+
+    plan = (
+        D.minhash_lsh_pairs(docs.limit(50))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert not re.search(r"Join \w+, \(sh#\d+ = sh#\d+\)\s*$", plan, re.M), (
+        "found a bare shingle-equality join (all-pairs verify) in:\n" + plan
+    )
+
+
+def test_token_index_hot_token_guard(spark, caplog):
+    """build_token_index drops tokens whose fan-out exceeds the ceiling
+    and logs the drop count; cold tokens are untouched."""
+    import logging
+
+    from serimi_rdf_interlinking_spark.config import SerimiConfig
+    from serimi_rdf_interlinking_spark.operators.candidates import build_token_index
+    from serimi_rdf_interlinking_spark.sources.triples import TRIPLE_SCHEMA
+
+    rows = [
+        (f"http://t/e{i}", "http://www.w3.org/2000/01/rdf-schema#label",
+         f"hot rare{i}", False, False)
+        for i in range(20)
+    ]
+    tgt = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    cfg = SerimiConfig(max_candidates_per_token=10)
+    with caplog.at_level(logging.WARNING, logger="serimi_rdf_interlinking_spark.operators.candidates"):
+        idx = build_token_index(tgt, None, cfg)
+        toks = {r.tok for r in idx.collect()}
+    assert any("hot tokens" in r.message for r in caplog.records)
+    assert "hot" not in toks           # fan-out 20 > ceiling 10 -> dropped
+    assert "rare0" in toks and "rare19" in toks
