@@ -243,8 +243,14 @@ def scaling_job(spark) -> dict:
     chunk_rows.count()
     kernel = make_chunk_kernel(textp=[], stopwords=())
     t0 = time.time()
+    # bucket 8 chunks per pandas group (matcher default) — amortizes
+    # the Arrow group-dispatch overhead over the 2,500 tiny chunks
     n_rds = _force(
-        chunk_rows.groupBy("chunk_id").applyInPandas(kernel, CHUNK_OUTPUT_SCHEMA)
+        chunk_rows.withColumn(
+            "kernel_bucket", F.floor(F.col("chunk_id") / F.lit(8))
+        )
+        .groupBy("kernel_bucket")
+        .applyInPandas(kernel, CHUNK_OUTPUT_SCHEMA)
     )
     t_rds = time.time() - t0
 

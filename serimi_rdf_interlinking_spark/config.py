@@ -44,10 +44,20 @@ class SerimiConfig:
     # logged) — this bounds every token-join key at the ceiling, which
     # is why there is no separate salting knob for the index join.
     max_candidates_per_token: int = 5000
+    # batch-mode RDS kernel: number of chunks scored inside one pandas
+    # group. Thousands of ~20-row chunks as individual applyInPandas
+    # groups are dominated by Arrow dispatch overhead; bucketing
+    # amortizes it while keeping per-group memory bounded at
+    # ~chunks_per_kernel_group * sigma candidate descriptions.
+    chunks_per_kernel_group: int = 8
     checkpoint_dir: str | None = None     # per-stage parquet checkpoints + pipeline_state
     run_id: str = "run0"
 
     dbpedia_target: bool = False     # enables yago filter + redirect expansion (F6/F13)
+    # F7 search-time redirect anti-join (search_module.rb:298-304).
+    # Dead code in the reference (its call site :113 is commented out,
+    # because it starves F13 redirect expansion) — opt-in here.
+    drop_redirect_candidates: bool = False
 
     extra: dict = field(default_factory=dict)
 

@@ -33,19 +33,28 @@ def valid_date_col(c: Column | str) -> Column:
     Ruby Date.strptime tolerates trailing garbage, so we match leading
     patterns with validated month/day ranges rather than try_to_date."""
     col = F.col(c) if isinstance(c, str) else c
+
+    # try_cast, not cast: regexp_extract returns '' on no-match, and an
+    # ANSI-mode cast('' as int) THROWS. The boolean guard in front does
+    # not protect it — codegen's common-subexpression elimination can
+    # hoist the cast out of the short-circuiting AND (observed as
+    # SpecificPredicate.subExpr_0 failures on digit-free labels).
+    def _num(pattern: str) -> Column:
+        return F.regexp_extract(col, pattern, 1).try_cast("int")
+
     mdy = F.regexp_extract(col, r"^\s*(\d{1,2})/(\d{1,2})/(\d+)", 0) != ""
-    mdy_ok = mdy & (
-        F.regexp_extract(col, r"^\s*(\d{1,2})/", 1).cast("int").between(1, 12)
-    ) & (
-        F.regexp_extract(col, r"^\s*\d{1,2}/(\d{1,2})/", 1).cast("int").between(1, 31)
+    mdy_ok = (
+        mdy
+        & _num(r"^\s*(\d{1,2})/").between(1, 12)
+        & _num(r"^\s*\d{1,2}/(\d{1,2})/").between(1, 31)
     )
     ymd = F.regexp_extract(col, r"^\s*(\d+)-(\d{1,2})-(\d{1,2})", 0) != ""
-    ymd_ok = ymd & (
-        F.regexp_extract(col, r"^\s*\d+-(\d{1,2})-", 1).cast("int").between(1, 12)
-    ) & (
-        F.regexp_extract(col, r"^\s*\d+-\d{1,2}-(\d{1,2})", 1).cast("int").between(1, 31)
+    ymd_ok = (
+        ymd
+        & _num(r"^\s*\d+-(\d{1,2})-").between(1, 12)
+        & _num(r"^\s*\d+-\d{1,2}-(\d{1,2})").between(1, 31)
     )
-    return mdy_ok | ymd_ok
+    return F.coalesce(mdy_ok | ymd_ok, F.lit(False))
 
 
 def paren_strip(c: Column | str) -> Column:

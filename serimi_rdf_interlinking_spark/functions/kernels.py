@@ -728,3 +728,80 @@ def is_pure_number(s: str) -> bool:
 @lru_cache(maxsize=65536)
 def advanced_string_matching_cached(a: str, b: str, stopwords: tuple[str, ...]) -> float:
     return advanced_string_matching(a, b, stopwords)
+
+
+def _expansion_eligible(s1: str, s2: str) -> bool:
+    """Mirror of xmatch_with_expansion's branch condition
+    (matching_module.rb:258-266): expansion applies iff either side has
+    a 1-char token AND both sides have <= 4 tokens."""
+    a1, b1 = s1.split(), s2.split()
+    if len(a1) > 4 or len(b1) > 4:
+        return False
+    return any(len(x) == 1 for x in a1) or any(len(x) == 1 for x in b1)
+
+
+def asm_passes(
+    a: str, b: str, stopwords: tuple[str, ...], threshold: float
+) -> bool:
+    """Exact decision `advanced_string_matching(a,b) > threshold`
+    without always paying for xmatch_with_expansion.
+
+    F11 filtering (search_module.rb:255-260) only consumes the BOOLEAN,
+    so two sound bounds short-circuit the expensive ensemble:
+
+    * lower bound: score1 >= jaccard(tokens) and the nsw term >=
+      jaccard(nsw tokens), so (j1 [+ j2]) already above the threshold
+      proves a pass;
+    * upper bound (no-expansion path only): xmatch =
+      (JW + LEV + QGRAM) * SOUNDEX / 3 <= SOUNDEX because the three
+      metrics are normalized to [0,1] — so max(soundex, jaccard) at or
+      below the threshold on both terms proves a fail. Soundex costs
+      ~1/7 of the full composite and is <= 0.7 for ~80% of
+      random-name pairs (measured), which is where the win comes from.
+
+    Pairs on the expansion path (a 1-char token and <= 4 tokens per
+    side, matching_module.rb:258) fall through to the full composite —
+    rearrangement changes the soundex operand, so the bound would be
+    unsound there.
+    """
+    s1 = removeaccents(keyword_normalization(a))
+    s2 = removeaccents(keyword_normalization(b))
+    if s1 == s2:
+        return 1.0 > threshold
+    s1_aa, s2_aa = s1.split(), s2.split()
+    sw = set(stopwords)
+    s1_a = [t for t in s1_aa if t not in sw]
+    s2_a = [t for t in s2_aa if t not in sw]
+    s1_nsw, s2_nsw = " ".join(s1_a), " ".join(s2_a)
+    has_nsw = len(s1_nsw) > 0 and len(s2_nsw) > 0
+
+    j1 = jaccard_tokens(s1_aa, s2_aa)
+    if not has_nsw:
+        if j1 > threshold:
+            return True
+        if not _expansion_eligible(s1, s2):
+            if max(simm_soundex(s1, s2), j1) <= threshold:
+                return False
+        return advanced_string_matching_cached(a, b, stopwords) > threshold
+
+    unstripped = s1_nsw == s1 and s2_nsw == s2  # no stopword removed
+    j2 = j1 if unstripped else jaccard_tokens(s1_a, s2_a)
+    if (j1 + j2) / 2.0 > threshold:
+        return True
+    if not _expansion_eligible(s1, s2) and (
+        unstripped or not _expansion_eligible(s1_nsw, s2_nsw)
+    ):
+        sx1 = simm_soundex(s1, s2)
+        sx2 = sx1 if unstripped else simm_soundex(s1_nsw, s2_nsw)
+        ub1 = max(sx1, j1)
+        ub2 = max(sx2, j2)
+        if (ub1 + ub2) / 2.0 <= threshold:
+            return False
+    return advanced_string_matching_cached(a, b, stopwords) > threshold
+
+
+@lru_cache(maxsize=65536)
+def asm_passes_cached(
+    a: str, b: str, stopwords: tuple[str, ...], threshold: float
+) -> bool:
+    return asm_passes(a, b, stopwords, threshold)

@@ -35,6 +35,28 @@ def asm_udf(stopwords: tuple[str, ...]):
     return _asm
 
 
+def asm_passes_udf(stopwords: tuple[str, ...], threshold: float):
+    """Boolean `advanced_string_matching(a,b) > threshold` with the
+    exact jaccard/soundex short-circuits (kernels.asm_passes) — the F11
+    hot path where only the decision is consumed."""
+    sw = tuple(stopwords)
+    thr = float(threshold)
+
+    @F.pandas_udf(T.BooleanType())
+    def _asm_p(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                K.asm_passes_cached(x, y, sw, thr)
+                if x is not None and y is not None
+                else False
+                for x, y in zip(a, b)
+            ],
+            dtype="bool",
+        )
+
+    return _asm_p
+
+
 def max_jaro_udf(stopwords: tuple[str, ...]):
     """T8: sum of advanced_string_matching over an array-of-labels col."""
     sw = tuple(stopwords)

@@ -19,15 +19,22 @@ Query lifecycle parity with the reference (SURVEY.md §3):
 Batch-mode divergences from the strictly sequential reference, both
 documented in SURVEY.md §7: the searchable-predicate list does not
 evolve after the warm-up (no per-hit promotion), and pivots
-(use_pivot) require mode='sequential'.
+(use_pivot) require mode='sequential'. mode='sequential' IS
+promotion-faithful: each chunk re-retrieves with the evolving
+searchable-predicate order (search_module.rb:107-108) and single-group
+chunks retry with a doubled limit (O5, initializer.rb:106-122).
 """
 
 from __future__ import annotations
+
+import logging
 
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 from .config import SerimiConfig
 from .operators import rds_core
@@ -103,7 +110,61 @@ class SerimiMatcher:
         cr = select_candidates(keywords, p1, p2)
         cr.pairs = self._mat(cr.pairs, f"{name}_pairs")
         cr.searched = self._mat(cr.searched, f"{name}_searched")
+        cr.passing_t1 = p1
+        cr.passing_t2 = p2
         return cr
+
+    # -- sequential-mode promotion fold ------------------------------------
+    def _fold_promotions(self, cr, order: list[str]) -> list[str]:
+        """search_module.rb:107-108: after each keyword's search, the
+        predicate that produced the hit ($found) is promoted to the
+        front of $word_by_word_properties, so later keywords (and later
+        chunks) try it first.
+
+        Granularity notes (documented approximations of the strictly
+        per-SPARQL-call reference):
+
+        * the reference's $found is the predicate of the last PASSING
+          TRIPLE seen by filter() (search_module.rb:252-260) — in
+          practice the searched predicate h, whose literal is the one
+          containing the keyword; we promote the searched predicate of
+          the keyword's winning tier;
+        * inside and_search the 'nsw' variant's filter() runs last
+          (search_module.rb:152-167), so when both variants pass, the
+          nsw predicate is the one promoted;
+        * keyword fold order is (rank, label_idx, kw) — entity order
+          by blocking rank, then the reference's per-entity label
+          iteration.
+        """
+        t1: dict[tuple, int] = {}
+        if cr.passing_t1 is not None:
+            for r in (
+                cr.passing_t1.groupBy("rank", "label_idx", "kw")
+                .agg(F.min("tier").alias("t"))
+                .collect()
+            ):
+                t1[(r.rank, r.label_idx, r.kw)] = r.t
+        t2and: dict[tuple, int] = {}
+        t2nsw: dict[tuple, int] = {}
+        if cr.passing_t2 is not None:
+            for r in (
+                cr.passing_t2.groupBy("rank", "label_idx", "kw", "variant")
+                .agg(F.min("tier").alias("t"))
+                .collect()
+            ):
+                d = t2nsw if r.variant == "nsw" else t2and
+                key = (r.rank, r.label_idx, r.kw)
+                d[key] = min(d.get(key, r.t), r.t)
+        new_order = list(order)
+        for key in sorted(set(t1) | set(t2and) | set(t2nsw)):
+            if key in t1:           # tier-1 hit: and_search never ran
+                won = order[t1[key]]
+            elif key in t2nsw:      # nsw filter() runs after 'and'
+                won = order[t2nsw[key]]
+            else:
+                won = order[t2and[key]]
+            new_order = [won] + [p for p in new_order if p != won]
+        return new_order
 
     # -- chunk-kernel input assembly --------------------------------------
     def _chunk_input(
@@ -208,7 +269,17 @@ class SerimiMatcher:
         rows = self._chunk_input(cand_result, source, target).collect()
         by_src: dict[str, dict] = {}
         ranks: dict[str, int] = {}
+        redirect_map: dict[str, str] = {}
+        redirect_desc: dict[str, list[tuple]] = {}
         for r in rows:
+            if r.role == "rdir":
+                redirect_map[r.cand] = r.o
+                continue
+            if r.role == "rdesc":
+                redirect_desc.setdefault(r.cand, []).append(
+                    (r.cand, r.p, r.o, bool(r.o_is_uri))
+                )
+                continue
             d = by_src.setdefault(r.src, {"cand": set(), "origin": set(), "kw": set()})
             if r.role == "cand":
                 d["cand"].add((r.cand, r.p, r.o, bool(r.o_is_uri)))
@@ -227,6 +298,15 @@ class SerimiMatcher:
             groups, searched, textp, stopwords, cfg.string_threshold,
             cfg.entropy_group_presence,
         )
+        # F13 applies to the warm-up chunk too (serimi_module.rb:86 runs
+        # for every chunk) — without it the warm-up emits alias URIs.
+        if cfg.dbpedia_target and redirect_map:
+            from .operators.rds import apply_dbpedia_redirect
+
+            filtered = [
+                apply_dbpedia_redirect(g, redirect_map, redirect_desc)
+                for g in filtered
+            ]
         search_preds = disc[: cfg.max_search_predicates]
 
         keep = [i for i, g in enumerate(filtered) if len(g) > 0]
@@ -246,107 +326,185 @@ class SerimiMatcher:
             ]
         return textp, search_preds, score_rows
 
-    # -- reference-parity sequential chunk loop (pivots) -------------------
-    def _run_sequential_chunks(
+    # -- reference-parity sequential chunk loop -----------------------------
+    def _score_chunk_seq(
         self,
-        chunk_input: DataFrame,
+        crs: list,
+        chunk_id: int,
+        pivot_state: tuple,
         textp: list[str],
         stopwords: tuple[str, ...],
     ) -> list[tuple]:
-        """mode='sequential': ordered driver loop with the pivot FIFO
-        carried across chunks (serimi_class.rb:279-298,
-        initializer.rb:173-179). Chunks collect one at a time — this is
-        the parity mode, not the scale path.
+        """Score one collected chunk on the driver: F12 label filtering,
+        F13 redirect expansion (dbpedia), RDS scoring with the pivot
+        FIFO carried across chunks (serimi_class.rb:279-298,
+        initializer.rb:173-179)."""
+        from .operators import rds_core
+        from .operators.rds import apply_dbpedia_redirect
+
+        cfg = self.cfg
+        pivot_groups, pivot_labels, pivot_subjects = pivot_state
+
+        srcs_ranked = sorted({(int(r.rank), r.src) for r in crs if r.role == "cand"})
+        groups, origins, searched = [], [], []
+        for _rank, src in srcs_ranked:
+            groups.append(
+                sorted(
+                    {
+                        (r.cand, r.p, r.o, bool(r.o_is_uri))
+                        for r in crs
+                        if r.role == "cand" and r.src == src
+                    }
+                )
+            )
+            origins.append(
+                sorted(
+                    {
+                        (r.p, r.o, bool(r.o_is_uri))
+                        for r in crs
+                        if r.role == "origin" and r.src == src
+                    }
+                )
+            )
+            searched.append(
+                sorted({r.p for r in crs if r.role == "kw" and r.src == src})
+            )
+
+        filtered, _disc = rds_core.entity_label_filtering(
+            groups, searched, textp, stopwords,
+            cfg.string_threshold, cfg.entropy_group_presence,
+        )
+        if cfg.dbpedia_target:
+            redirect_map: dict[str, str] = {}
+            redirect_desc: dict[str, list[tuple]] = {}
+            for r in crs:
+                if r.role == "rdir":
+                    redirect_map[r.cand] = r.o
+                elif r.role == "rdesc":
+                    redirect_desc.setdefault(r.cand, []).append(
+                        (r.cand, r.p, r.o, bool(r.o_is_uri))
+                    )
+            if redirect_map:
+                filtered = [
+                    apply_dbpedia_redirect(g, redirect_map, redirect_desc)
+                    for g in filtered
+                ]
+        keep = [i for i, g in enumerate(filtered) if g]
+        groups2 = [filtered[i] for i in keep]
+        origins2 = [origins[i] for i in keep]
+        searched2 = [searched[i] for i in keep]
+        srcs2 = [srcs_ranked[i][1] for i in keep]
+        if len(groups2) <= 1:
+            return []
+
+        pg = list(pivot_groups)
+        pl = list(pivot_labels)
+        all_groups = groups2 + pg
+        all_searched = searched2 + pl
+        res = rds_core.rds_score(
+            all_groups, origins2, textp, cfg.overflow_min_threshold
+        )
+        # pivot updates (add_pivot, serimi_class.rb:279-298)
+        if cfg.use_pivot:
+            for gidx, sidx in res.pivot_hits:
+                spivot = res.subjects[gidx][sidx]
+                if len(pivot_groups) > cfg.pivot_fifo:
+                    break
+                if spivot in pivot_subjects:
+                    continue
+                grp = [t for t in all_groups[gidx] if t[0] == spivot]
+                pivot_groups.append(grp)
+                pivot_labels.append(
+                    all_searched[gidx] if gidx < len(all_searched) else []
+                )
+                pivot_subjects.append(spivot)
+                if len(pivot_groups) > cfg.pivot_fifo:
+                    pivot_groups.popleft()
+                    pivot_labels.popleft()
+                    pivot_subjects.pop(0)
+
+        out: list[tuple] = []
+        n = len(groups2)
+        scores = res.normalized[:n]
+        thresholds = rds_core.rds_thresholds(
+            scores, topk=cfg.topk, rds_threshold=cfg.rds_threshold
+        )
+        for gidx in range(n):
+            t = thresholds[gidx]
+            for s, v in zip(res.subjects[gidx], scores[gidx]):
+                out.append((chunk_id, srcs2[gidx], s, v, t, v >= t))
+        return out
+
+    def _run_sequential_loop(
+        self,
+        source: DataFrame,
+        target: DataFrame,
+        keywords: DataFrame,
+        index: DataFrame,
+        order0: list[str],
+        textp: list[str],
+        stopwords: tuple[str, ...],
+    ) -> list[tuple]:
+        """mode='sequential': the reference's driver loop
+        (initializer.rb:93-130) with
+
+        * rank-window chunks: offset starts after the warm-up span,
+          limit = sigma;
+        * O5 double-and-retry (initializer.rb:106-122): a chunk where
+          only ONE source retrieved candidates rewinds and retries the
+          same offset with a doubled limit (cap 100); the doubled limit
+          persists for later chunks, as in the reference;
+        * per-chunk retrieval with the evolving searchable-predicate
+          order — the promotion fold runs after every attempt (the
+          reference promotes during failed attempts too, since search()
+          executed for those subjects);
+        * the pivot FIFO and F13 redirect expansion per chunk.
+
+        One chunk collects at a time — this is the parity mode, not the
+        scale path. Intended-semantics divergence (SURVEY §7 policy):
+        the reference exits the whole loop when a doubled limit exceeds
+        the instance count (`while ... limit <= count`,
+        initializer.rb:93), silently dropping the tail; we process the
+        final short span instead.
         """
         from collections import deque
 
-        from .operators import rds_core
-
         cfg = self.cfg
-        rows = chunk_input.filter(F.col("chunk_id") >= 1).collect()
-        by_chunk: dict[int, list] = {}
-        for r in rows:
-            by_chunk.setdefault(int(r.chunk_id), []).append(r)
-
-        pivot_groups: deque = deque()
-        pivot_labels: deque = deque()
-        pivot_subjects: list[str] = []
+        max_rank = keywords.agg(F.max("rank")).collect()[0][0]
+        count = (max_rank if max_rank is not None else -1) + 1
+        order = list(order0)
+        pivot_state = (deque(), deque(), [])
         out: list[tuple] = []
-
-        for chunk_id in sorted(by_chunk):
-            crs = by_chunk[chunk_id]
-            srcs_ranked = sorted({(int(r.rank), r.src) for r in crs if r.role == "cand"})
-            groups, origins, searched = [], [], []
-            for _rank, src in srcs_ranked:
-                groups.append(
-                    sorted(
-                        {
-                            (r.cand, r.p, r.o, bool(r.o_is_uri))
-                            for r in crs
-                            if r.role == "cand" and r.src == src
-                        }
-                    )
-                )
-                origins.append(
-                    sorted(
-                        {
-                            (r.p, r.o, bool(r.o_is_uri))
-                            for r in crs
-                            if r.role == "origin" and r.src == src
-                        }
-                    )
-                )
-                searched.append(
-                    sorted({r.p for r in crs if r.role == "kw" and r.src == src})
-                )
-
-            filtered, _disc = rds_core.entity_label_filtering(
-                groups, searched, textp, stopwords,
-                cfg.string_threshold, cfg.entropy_group_presence,
+        offset, limit = cfg.warmup_chunk, cfg.chunk
+        chunk_id = 1
+        while offset < count:
+            span = keywords.filter(
+                (F.col("rank") >= offset) & (F.col("rank") < offset + limit)
             )
-            keep = [i for i, g in enumerate(filtered) if g]
-            groups2 = [filtered[i] for i in keep]
-            origins2 = [origins[i] for i in keep]
-            searched2 = [searched[i] for i in keep]
-            srcs2 = [srcs_ranked[i][1] for i in keep]
-            if len(groups2) <= 1:
+            tiers = {p: i for i, p in enumerate(order)} if order else None
+            cr = self._retrieve(
+                span, index, target, tiers, textp, stopwords, f"seq{chunk_id}"
+            )
+            n_data = cr.pairs.select("s").distinct().count()
+            if order:
+                order = self._fold_promotions(cr, order)
+            if n_data == 1 and offset + limit < count and limit < 100:
+                limit += limit
                 continue
-
-            pg = list(pivot_groups)
-            pl = list(pivot_labels)
-            all_groups = groups2 + pg
-            all_searched = searched2 + pl
-            res = rds_core.rds_score(
-                all_groups, origins2, textp, cfg.overflow_min_threshold
-            )
-            # pivot updates (add_pivot, serimi_class.rb:279-298)
-            if cfg.use_pivot:
-                for gidx, sidx in res.pivot_hits:
-                    spivot = res.subjects[gidx][sidx]
-                    if len(pivot_groups) > cfg.pivot_fifo:
-                        break
-                    if spivot in pivot_subjects:
-                        continue
-                    grp = [t for t in all_groups[gidx] if t[0] == spivot]
-                    pivot_groups.append(grp)
-                    pivot_labels.append(
-                        all_searched[gidx] if gidx < len(all_searched) else []
+            if n_data >= 2:
+                cr.pairs = cr.pairs.withColumn("chunk_id", F.lit(chunk_id))
+                cr.searched = cr.searched.withColumn(
+                    "chunk_id", F.lit(chunk_id)
+                )
+                rows = self._chunk_input(cr, source, target).collect()
+                out.extend(
+                    self._score_chunk_seq(
+                        rows, chunk_id, pivot_state, textp, stopwords
                     )
-                    pivot_subjects.append(spivot)
-                    if len(pivot_groups) > cfg.pivot_fifo:
-                        pivot_groups.popleft()
-                        pivot_labels.popleft()
-                        pivot_subjects.pop(0)
-
-            n = len(groups2)
-            scores = res.normalized[:n]
-            thresholds = rds_core.rds_thresholds(
-                scores, topk=cfg.topk, rds_threshold=cfg.rds_threshold
-            )
-            for gidx in range(n):
-                t = thresholds[gidx]
-                for s, v in zip(res.subjects[gidx], scores[gidx]):
-                    out.append((chunk_id, srcs2[gidx], s, v, t, v >= t))
+                )
+            offset += limit
+            chunk_id += 1
+        self.final_search_order = order
         return out
 
     # -- the pipeline -------------------------------------------------------
@@ -422,28 +580,47 @@ class SerimiMatcher:
         )
         tick("warmup kernel")
 
-        # batched remaining chunks with the learned predicate cascade
-        kwN = keywords.filter(F.col("chunk_id") >= 1)
+        # the main-retrieval index is DERIVED from the materialized
+        # warm-up index (a predicate filter over the checkpointed frame)
+        # instead of a second full build — saves a target scan, the
+        # explode+distinct shuffle and the hot-token pass. The hot-token
+        # ceiling was applied on the any-predicate index, which is the
+        # conservative direction (never more fan-out).
         if search_preds:
-            index = self._mat(
-                build_token_index(target, search_preds, cfg), "index"
-            )
+            index = index_all.filter(F.col("p").isin(search_preds))
             tiers = {p: i for i, p in enumerate(search_preds)}
         else:
             index, tiers = index_all, None  # fallback: nothing learned
-        crN = self._retrieve(kwN, index, target, tiers, textp, stopwords, "main")
-        tick("main retrieve")
-        chunk_input = self._mat(
-            self._chunk_input(crN, source, target), "chunk_input"
-        )
-        tick("chunk input")
 
         if cfg.mode == "sequential" or cfg.use_pivot:
-            seq_rows = self._run_sequential_chunks(chunk_input, textp, stopwords)
+            if cfg.use_pivot and cfg.mode != "sequential":
+                log.warning(
+                    "use_pivot=True forces the sequential driver loop "
+                    "(mode=%r ignored): chunk input collects to the "
+                    "driver one chunk at a time — a parity mode, not "
+                    "the scale path",
+                    cfg.mode,
+                )
+            seq_rows = self._run_sequential_loop(
+                source, target, keywords, index, search_preds, textp,
+                stopwords,
+            )
+            tick("sequential loop")
             scored = spark.createDataFrame(
                 warm_rows + seq_rows, CHUNK_OUTPUT_SCHEMA
             )
         else:
+            # batched remaining chunks with the learned predicate
+            # cascade (frozen after warm-up — SURVEY §7 divergence)
+            kwN = keywords.filter(F.col("chunk_id") >= 1)
+            crN = self._retrieve(
+                kwN, index, target, tiers, textp, stopwords, "main"
+            )
+            tick("main retrieve")
+            chunk_input = self._mat(
+                self._chunk_input(crN, source, target), "chunk_input"
+            )
+            tick("chunk input")
             kernel = make_chunk_kernel(
                 textp,
                 stopwords,
@@ -454,8 +631,19 @@ class SerimiMatcher:
                 group_presence=cfg.entropy_group_presence,
                 dbpedia=cfg.dbpedia_target,
             )
-            scored = chunk_input.groupBy("chunk_id").applyInPandas(
-                kernel, CHUNK_OUTPUT_SCHEMA
+            # group by a BUCKET of chunks, not per-chunk: the kernel
+            # loops chunk_ids inside each pandas group, amortizing the
+            # Arrow group-dispatch overhead over cfg.chunks_per_kernel_group
+            # chunks while keeping group memory bounded. Keyed on a
+            # deterministic chunk_id division so co-bucketed chunks are
+            # stable across runs/resumes.
+            bucket = F.floor(
+                F.col("chunk_id") / F.lit(max(1, cfg.chunks_per_kernel_group))
+            ).alias("kernel_bucket")
+            scored = (
+                chunk_input.withColumn("kernel_bucket", bucket)
+                .groupBy("kernel_bucket")
+                .applyInPandas(kernel, CHUNK_OUTPUT_SCHEMA)
             )
             if warm_rows:
                 warm_df = spark.createDataFrame(warm_rows, CHUNK_OUTPUT_SCHEMA)

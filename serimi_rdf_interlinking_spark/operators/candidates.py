@@ -36,7 +36,7 @@ log = logging.getLogger(__name__)
 
 from ..config import SerimiConfig
 from ..functions.columns import norm_text, norm_tokens, paren_strip, valid_date_col
-from ..functions.udfs import asm_udf
+from ..functions.udfs import asm_passes_udf
 
 YAGO_PREFIX = "http://dbpedia.org/class/yago/"
 
@@ -109,6 +109,27 @@ def build_token_index(
         lits = lits.filter(F.col("p").isin(search_predicates))
     if cfg.dbpedia_target:
         lits = lits.filter(~F.col("s").startswith(YAGO_PREFIX))
+    if cfg.drop_redirect_candidates:
+        # F7 search-time redirect anti-join (dbpedia_filter,
+        # search_module.rb:298-304). NOTE: the reference's only call
+        # site (search_module.rb:113) is commented out — F7 is dead
+        # code there, because dropping redirect-subjects at search time
+        # starves F13 redirect expansion (serimi_module.rb:86) of the
+        # alias candidates it replaces. Opt-in for users who want
+        # redirect stubs out of the candidate budget and do not rely
+        # on alias-only labels.
+        from ..sources.triples import WIKI_REDIRECT
+
+        redirect_subjects = (
+            target.filter(F.col("p") == WIKI_REDIRECT)
+            .select(F.col("s").alias("cand"))
+            .distinct()
+        )
+        lits = lits.join(
+            redirect_subjects,
+            lits["s"] == redirect_subjects["cand"],
+            "left_anti",
+        )
     idx = (
         lits.select(
             F.col("s").alias("cand"),
@@ -286,11 +307,19 @@ def f11_passing(
     )
     if textp is None:
         pairs = pairs.filter(F.length("lit") <= 3 * F.length("kw"))
+    # boolean short-circuit kernel: F11 consumes only the decision, so
+    # the jaccard lower bound / soundex upper bound skip the full
+    # ensemble for most pairs (see kernels.asm_passes)
     scored_pairs = (
         pairs.select("kw", "lit")
         .distinct()
-        .withColumn("asm", asm_udf(stopwords)(F.col("kw"), F.col("lit")))
-        .filter(F.col("asm") > cfg.string_threshold)
+        .withColumn(
+            "ok",
+            asm_passes_udf(stopwords, cfg.string_threshold)(
+                F.col("kw"), F.col("lit")
+            ),
+        )
+        .filter(F.col("ok"))
         .select("kw", "lit")
     )
     passing = (
@@ -311,6 +340,11 @@ def f11_passing(
 class CandidateResult:
     pairs: DataFrame      # (chunk_id, rank, s, cand)
     searched: DataFrame   # (chunk_id, rank, s, kw) — winning label property
+    # per-tier passing frames, kept for the sequential-mode promotion
+    # fold (search_module.rb:107-108 — which predicate "found" each
+    # keyword decides the next chunk's cascade order)
+    passing_t1: DataFrame | None = None
+    passing_t2: DataFrame | None = None
 
 
 def select_candidates(

@@ -44,6 +44,68 @@ def evaluate_alignment(predicted: DataFrame, gold: DataFrame) -> PRF:
     return PRF(tp=tp, fp=fp, fn=fn)
 
 
+def sameas_audit(
+    links: DataFrame,
+    target_kb: DataFrame,
+    namespace: str | None = None,
+) -> DataFrame:
+    """J8 — owl:sameAs link QA (util/sameas.rb:46-112): of the emitted
+    links whose target falls in `namespace`, how many point at a
+    REDIRECT alias (stale link) and how many of those redirect to a
+    disambiguation page (ambiguous link)?
+
+    links: (source, target) alignment pairs (e.g. MatchResult.alignments
+    or read_gold_alignments output). target_kb: triples of the linked
+    dataset carrying wikiPageRedirects rows. Returns one row
+    (n_links, n_redirected, n_ambiguous, ratio_redirected,
+    ratio_ambiguous).
+
+    The reference paginates one SPARQL ASK-style query per link; here
+    it is a single broadcast-friendly left join against the redirect
+    edge set. Intended-semantics note: the reference prints
+    `lines_redirected.size.to_f / count` (sameas.rb:102-110) — Ruby
+    Integer#size is the byte width (8), so its printed ratios are
+    constant nonsense; we compute the intended count/count ratio.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.triples import WIKI_REDIRECT
+
+    o = links.select(F.col("target").alias("uri")).distinct()
+    if namespace:
+        o = o.filter(F.col("uri").startswith(namespace))
+    # pre-aggregate per alias so a URI with several redirect rows still
+    # counts as ONE redirected link (the reference's per-link existence
+    # check has the same cardinality)
+    red = (
+        target_kb.filter(F.col("p") == WIKI_REDIRECT)
+        .select(F.col("s").alias("uri"), F.col("o").alias("rtarget"))
+        .groupBy("uri")
+        .agg(
+            F.max(
+                F.col("rtarget").contains("disambiguation").cast("int")
+            ).alias("amb")
+        )
+        .withColumn("is_redirected", F.lit(1))
+    )
+    j = o.join(red, "uri", "left")
+    return j.agg(
+        F.count("*").alias("n_links"),
+        F.coalesce(F.sum("is_redirected"), F.lit(0)).alias("n_redirected"),
+        F.coalesce(F.sum("amb"), F.lit(0)).alias("n_ambiguous"),
+    ).select(
+        "n_links",
+        "n_redirected",
+        "n_ambiguous",
+        F.round(F.col("n_redirected") / F.col("n_links"), 6).alias(
+            "ratio_redirected"
+        ),
+        F.round(F.col("n_ambiguous") / F.col("n_links"), 6).alias(
+            "ratio_ambiguous"
+        ),
+    )
+
+
 def recall_diagnosis(
     predicted: DataFrame, gold: DataFrame, searched: DataFrame | None = None
 ) -> DataFrame:

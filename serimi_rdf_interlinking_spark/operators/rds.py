@@ -69,6 +69,12 @@ def make_chunk_kernel(
     stopwords = tuple(stopwords)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Scores ONE chunk. The Spark entry point is `batched` below,
+        which loops this over every chunk_id inside a pandas group —
+        grouping by a bucket of chunks amortizes the Arrow dispatch
+        overhead that dominates when thousands of ~20-row chunks each
+        become their own group (measured round-1: RDS stage scaling
+        efficiency 0.59, the group-dispatch laggard)."""
         empty = pd.DataFrame(
             {
                 "chunk_id": pd.Series(dtype="int64"),
@@ -159,4 +165,10 @@ def make_chunk_kernel(
             }
         )
 
-    return kernel
+    def batched(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return kernel(pdf)
+        outs = [kernel(sub) for _cid, sub in pdf.groupby("chunk_id", sort=True)]
+        return pd.concat(outs, ignore_index=True) if outs else kernel(pdf)
+
+    return batched
