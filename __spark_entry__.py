@@ -508,6 +508,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serimi_rdf_interlinking_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(
+        _read(spark, sf_dir, "documents"),
+        num_hashes=12,
+        bands=4,
+        verify_threshold=0.5,
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serimi_rdf_interlinking_spark.operators.dedup import simhash
 
@@ -634,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "cosine_topk": q_cosine_topk,
@@ -1040,6 +1052,36 @@ ORDER BY keyed.doc_id
 
     sql["dedup_ngram_jaccard"] = _ngram_pairs_sql(3, 0.5, max_df=1000)
     sql["dedup_minhash_lsh"] = _minhash_lsh_sql(12, 4, 3, 0.5)
+
+    # transitive closure over the LSH pair graph via a recursive CTE —
+    # exact oracle for the iterative min-label-propagation clusters
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE
+lsh_pairs AS (SELECT id_a, id_b FROM ({_minhash_lsh_sql(12, 4, 3, 0.5)}) t),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM lsh_pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM lsh_pairs
+),
+walk(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a
+),
+comp AS (SELECT a AS id, min(b) AS mn FROM walk GROUP BY a),
+final AS (
+  SELECT d.doc_id AS doc_id,
+         coalesce(least(c.mn, d.doc_id), d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+),
+sizes AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM final
+  GROUP BY canonical_id
+)
+SELECT f.doc_id, f.canonical_id, s.cluster_size
+FROM final f JOIN sizes s USING (canonical_id)
+ORDER BY f.doc_id
+"""
     sql["simhash"] = _simhash_sql(16)
 
     sql["embedding_near_dup"] = """

@@ -36,6 +36,7 @@ HEADLINE = [
     # training-data ops
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "simhash",
     "cosine_topk",
     "language_id",

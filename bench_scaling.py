@@ -380,7 +380,7 @@ timing).
 """
         )
     out = {
-        "metric": "scaling_efficiency_8_to_32_cores",
+        "metric": f"scaling_efficiency_{LOW}_to_{HIGH}_cores",
         "value": round(efficiency, 3),
         "unit": "ratio",
         "queries": {

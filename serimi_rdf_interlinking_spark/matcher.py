@@ -105,11 +105,41 @@ class SerimiMatcher:
         p1 = self._mat(f11_passing(h1, target, textp, stopwords, cfg), f"{name}_p1")
         sel_kws = p1.select(*KW_KEY).distinct()
         failed = keywords.filter("searchable").join(sel_kws, KW_KEY, "left_anti")
-        h2 = and_hits(failed, index, tiers, stopwords)
-        p2 = self._mat(f11_passing(h2, target, textp, stopwords, cfg), f"{name}_p2")
+        # tier-2 only runs for keywords tier-1 missed (the reference's
+        # break-on-first-hit). When nothing missed — the common case on
+        # well-matched data — skip the whole AND-search job: the
+        # emptiness probe over two materialized frames costs far less
+        # than an f11 job with its pandas-UDF stages.
+        if failed.isEmpty():
+            p2 = None
+        else:
+            h2 = and_hits(failed, index, tiers, stopwords)
+            p2 = self._mat(
+                f11_passing(h2, target, textp, stopwords, cfg), f"{name}_p2"
+            )
         cr = select_candidates(keywords, p1, p2)
-        cr.pairs = self._mat(cr.pairs, f"{name}_pairs")
-        cr.searched = self._mat(cr.searched, f"{name}_searched")
+        # one checkpoint for pairs+searched instead of two: both are
+        # multi-consumer downstream, but each eager materialization is a
+        # full Spark job and the fixed job overhead dominates at small
+        # chunk sizes (the round-1 job-count finding)
+        combo = self._mat(
+            cr.pairs.select(
+                "chunk_id", "rank", "s", F.col("cand").alias("val"),
+                F.lit("pair").alias("kind"),
+            ).unionByName(
+                cr.searched.select(
+                    "chunk_id", "rank", "s", F.col("kw").alias("val"),
+                    F.lit("kw").alias("kind"),
+                )
+            ),
+            f"{name}_out",
+        )
+        cr.pairs = combo.filter(F.col("kind") == "pair").select(
+            "chunk_id", "rank", "s", F.col("val").alias("cand")
+        )
+        cr.searched = combo.filter(F.col("kind") == "kw").select(
+            "chunk_id", "rank", "s", F.col("val").alias("kw")
+        )
         cr.passing_t1 = p1
         cr.passing_t2 = p2
         return cr
@@ -564,14 +594,21 @@ class SerimiMatcher:
         stopwords = mine_stopwords(source, members, labels)
         tick("stopwords")
 
-        ranked = self._mat(blocking_order(source, members, labels, cfg), "ranked")
+        # ranked is consumed exactly once (by prepare_keywords), so it
+        # rides inside the keywords checkpoint instead of paying its own
+        # materialization job
+        ranked = blocking_order(source, members, labels, cfg)
         keywords = self._mat(
             prepare_keywords(source, ranked, labels, cfg), "keywords"
         )
         tick("blocking+keywords")
 
-        # warm-up chunk: any-predicate search (wbwp == ['?p'])
-        index_all = self._mat(build_token_index(target, None, cfg), "index_all")
+        # warm-up chunk: any-predicate search (wbwp == ['?p']).
+        # build_token_index materializes the raw index via _mat itself,
+        # so the hot-token guard scans the checkpointed frame.
+        index_all = build_token_index(
+            target, None, cfg, mat=lambda df: self._mat(df, "index_all")
+        )
         kw0 = keywords.filter(F.col("chunk_id") == 0)
         cr0 = self._retrieve(kw0, index_all, target, None, None, stopwords, "warm")
         tick("warm retrieve")

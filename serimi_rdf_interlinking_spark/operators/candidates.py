@@ -90,6 +90,7 @@ def build_token_index(
     target: DataFrame,
     search_predicates: list[str] | None,
     cfg: SerimiConfig,
+    mat=None,
 ) -> DataFrame:
     """(tok, cand, p, norm_o) over distinct tokens of target literal
     values.
@@ -139,6 +140,12 @@ def build_token_index(
         .withColumn("tok", F.explode(F.array_distinct(norm_tokens("norm_o"))))
         .distinct()
     )
+    if mat is not None:
+        # materialize the RAW index first so the hot-token frequency
+        # scan below reads the checkpointed frame instead of re-running
+        # the whole build (one full-plan job instead of two); the
+        # anti-join stays lazy over the materialized frame.
+        idx = mat(idx)
     hot = (
         idx.groupBy("tok")
         .agg(F.count("*").alias("fanout"))

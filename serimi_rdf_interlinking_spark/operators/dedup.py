@@ -291,6 +291,58 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup CLUSTERS: transitive closure over the verified
+    MinHash-LSH pair graph — the training-data dedup primitive ("keep
+    one doc per near-dup cluster"). Returns
+    (doc_id, canonical_id, cluster_size); canonical_id = min doc id of
+    the cluster, singletons map to themselves with size 1.
+
+    Composition: minhash_lsh_pairs (linear candidate generation +
+    bounded verify) -> iterative min-label propagation
+    (operators.graph.connected_components, O(component diameter)
+    rounds, two shuffles per round, lineage truncated per round). Near-
+    dup components are shallow (stars/cliques), so convergence is
+    fast; the pair plan materializes once inside the CC loop's eager
+    checkpoint."""
+    from .graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        docs, id_col, text_col, num_hashes, bands, n, verify_threshold
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    assigned = (
+        ids.join(
+            cc.select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("canonical_id"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .withColumn(
+            "canonical_id", F.coalesce("canonical_id", F.col("doc_id"))
+        )
+    )
+    sizes = assigned.groupBy("canonical_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        assigned.join(sizes, "canonical_id")
+        .select("doc_id", "canonical_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",

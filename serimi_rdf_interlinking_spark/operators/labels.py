@@ -116,30 +116,26 @@ def mine_stopwords_for_label(
 def mine_stopwords(
     triples: DataFrame, members: DataFrame, labels: list[str]
 ) -> tuple[str, ...]:
-    """All labels in one pass (two Spark jobs total instead of three per
-    label): per-label value counts, token frequencies and stats come
-    from a single grouped aggregation; the per-label volatility gate
-    and ordering are applied driver-side on the (small) collected token
-    stats."""
+    """All labels in ONE Spark job: per-label value counts join the
+    token frequencies inside the plan (broadcast — one tiny row per
+    label), so frequencies, stats, the per-label volatility gate and
+    the final filter land in a single collect of just the stop words."""
     vals = (
         triples.join(members, "s", "left_semi")
         .filter(F.col("p").isin(labels))
         .select(F.col("p").alias("label"), "o")
     )
-    n_by_label = {
-        r.label: r.n
-        for r in vals.groupBy("label").agg(F.count("*").alias("n")).collect()
-    }
-    if not n_by_label:
-        return ()
-    n_map = F.create_map(
-        *[x for k, v in n_by_label.items() for x in (F.lit(k), F.lit(float(v)))]
+    totals = vals.groupBy("label").agg(
+        F.count("*").cast("double").alias("n")
     )
     toks = vals.select(
         "label", F.explode(norm_tokens("o")).alias("tok")
     ).filter(~is_numericish_col("tok"))
-    wc = toks.groupBy("label", "tok").agg(
-        (F.count("*") / n_map[F.col("label")]).alias("v")
+    wc = (
+        toks.groupBy("label", "tok")
+        .agg(F.count("*").alias("c"))
+        .join(F.broadcast(totals), "label")
+        .select("label", "tok", (F.col("c") / F.col("n")).alias("v"))
     )
     stats = wc.groupBy("label").agg(
         F.avg("v").alias("m"), F.stddev_pop("v").alias("sd")

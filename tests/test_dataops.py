@@ -206,3 +206,21 @@ def test_token_index_hot_token_guard(spark, caplog):
     assert any("hot tokens" in r.message for r in caplog.records)
     assert "hot" not in toks           # fan-out 20 > ceiling 10 -> dropped
     assert "rare0" in toks and "rare19" in toks
+
+
+def test_dedup_clusters_transitive(spark):
+    """a~b and b~c but a!~c directly: one cluster {a,b,c} via closure."""
+    base = "the quick brown fox jumps over the lazy dog wearing hats"
+    rows = [
+        (1, base),
+        (2, base + " extra"),               # near-dup of 1
+        (3, base + " extra words appended"),  # near-dup of 2 (weaker vs 1)
+        (50, "completely unrelated content that is standing alone here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.canonical_id, r.cluster_size)
+        for r in D.dedup_clusters(df, verify_threshold=0.5).collect()
+    }
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    assert out[50] == (50, 1)

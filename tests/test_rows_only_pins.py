@@ -1,0 +1,40 @@
+"""Regression pins for the three queries() entries WITHOUT a DuckDB
+oracle (the driver only row-counts them): full-result hashes at
+sf0.001. A hash change means the query's semantics moved — update the
+pin only with an explanation of what changed and why it is correct.
+"""
+
+import hashlib
+
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+PINS = {
+    "serimi_alignment": "f6ad9c018c6653172e64d10e07c1e283",
+    "ann_lsh_topk": "8b97e60b5620ac38a2b7f1f3c9a4cd4c",
+    "advanced_string_matching": "c52baee8e25943d17dcd9c773f24b18f",
+}
+
+
+def _result_hash(df):
+    cols = sorted(df.columns)
+    rows = df.toPandas()[cols]
+    for c in cols:
+        if rows[c].dtype == "float64":
+            rows[c] = rows[c].round(6)
+    lines = sorted(
+        "|".join(str(v) for v in r) for r in rows.itertuples(index=False)
+    )
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", sorted(PINS))
+def test_rows_only_query_pinned(spark, name):
+    df = E.queries()[name](spark, SF_DIR)
+    assert _result_hash(df) == PINS[name], (
+        f"{name} result hash changed — semantics moved; re-pin only "
+        "with an explanation"
+    )
