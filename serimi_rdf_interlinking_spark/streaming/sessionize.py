@@ -1,0 +1,166 @@
+"""Custom stateful streaming operator: per-user sessionization with
+applyInPandasWithState.
+
+The batch analogue is __spark_entry__.q_sessionize (lag + gap cumsum;
+DuckDB-oracled). This is the streaming form a crawl/event pipeline
+needs at scale: state is one small record per user (current session's
+start, last-seen timestamp, event count, session counter), grouped by
+user_id so state shards across executors with the shuffle; processing-
+time timeouts close sessions when a user goes quiet.
+
+Semantics (mirrors the batch query): a new session starts when the gap
+to the previous event exceeds `gap` seconds. Emits one row per CLOSED
+session: (user_id, session_id, n_events, start_ts, end_ts). Sessions
+still open when a timeout fires are emitted by the timeout branch;
+with Trigger.AvailableNow + a final timeout pass, batch parity holds
+for session COUNTS per user.
+
+Scale notes: state size is O(active users), not O(events); the only
+shuffle is the groupBy(user_id) hash partitioning; per-group work is a
+bounded pandas loop over that user's micro-batch events (sorted by
+event time). Event-time ordering within a user is guaranteed only
+per micro-batch — late cross-batch events belong to watermarked
+event-time processing; here the gap rule matches the reference-style
+batch query, which assumes ordered replay (AvailableNow over immutable
+files delivers that in file order).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+SESSION_STATE_SCHEMA = (
+    "session_id LONG, start_us LONG, last_us LONG, n_events LONG"
+)
+SESSION_OUTPUT_SCHEMA = (
+    "user_id LONG, session_id LONG, n_events LONG, start_us LONG, "
+    "end_us LONG"
+)
+
+
+def make_sessionizer(
+    gap_seconds: float = 3600.0, timeout_ms: int | None = 30000
+):
+    """Builds the applyInPandasWithState function. gap_seconds is the
+    inactivity threshold that starts a new session (batch analogue's
+    `> 3600`), compared on microsecond-precision epochs (the round-1
+    sessionize lesson: whole-second truncation diverges).
+
+    timeout_ms None = NoTimeout: only gap-closed sessions are emitted
+    and open sessions stay in state (deterministic — used by the parity
+    test). With a processing-time timeout, quiet users' open sessions
+    flush through the hasTimedOut branch; under Trigger.AvailableNow
+    that flush races query termination, so continuous triggers are the
+    mode where the timeout is meaningful."""
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def sessionize(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = int(key[0])
+        if state.hasTimedOut:
+            if state.exists:
+                session_id, start_us, last_us, n_events = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_id": [session_id],
+                        "n_events": [n_events],
+                        "start_us": [start_us],
+                        "end_us": [last_us],
+                    }
+                )
+            return
+
+        if state.exists:
+            session_id, start_us, last_us, n_events = state.get
+        else:
+            session_id, start_us, last_us, n_events = 0, None, None, 0
+
+        closed: list[tuple[int, int, int, int]] = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            # microsecond epoch; sort by event time then id for
+            # deterministic per-batch replay
+            us = (
+                pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            ).to_numpy()
+            order = pdf.assign(_us=us).sort_values(["_us", "event_id"])
+            for t in order["_us"].to_numpy():
+                t = int(t)
+                if start_us is None:
+                    session_id += 1
+                    start_us, last_us, n_events = t, t, 1
+                elif t - last_us > gap_us:
+                    closed.append((session_id, start_us, last_us, n_events))
+                    session_id += 1
+                    start_us, last_us, n_events = t, t, 1
+                else:
+                    last_us = t
+                    n_events += 1
+
+        state.update((session_id, start_us, last_us, n_events))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_id": [c[0] for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "start_us": [c[1] for c in closed],
+                    "end_us": [c[2] for c in closed],
+                }
+            )
+
+    return sessionize
+
+
+def stream_sessionize(
+    spark,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: float = 3600.0,
+    schema=None,
+    timeout_ms: int | None = 30000,
+):
+    """readStream(events parquet) → groupBy(user_id)
+    applyInPandasWithState → append sink. Returns the StreamingQuery."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if schema is None:
+        schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+    )
+    sessions = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            make_sessionizer(gap_seconds, timeout_ms),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if timeout_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
+        )
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
