@@ -355,6 +355,31 @@ def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters pushed to both scans, 3-way
+    join, aggregate, global top-10 — the pattern where predicate
+    pushdown + partial aggregation + a single TakeOrdered matter."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .filter(F.col("o_orderdate") < "1998-01-01")
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("l_shipdate") > "1996-06-30")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue")
+    )
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1-style left-semi + left-anti joins: customers with/without
     orders per market segment."""
@@ -637,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct": q_union_distinct,
         "pricing_summary": q_pricing_summary,
         "revenue_per_nation": q_revenue_per_nation,
+        "top_orders": q_top_orders,
         "semi_anti_join": q_semi_anti_join,
         "running_window": q_running_window,
         "sessionize": q_sessionize,
@@ -983,6 +1009,20 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
+"""
+
+    sql["top_orders"] = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-06-30'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
 """
 
     sql["semi_anti_join"] = """

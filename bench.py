@@ -29,6 +29,7 @@ HEADLINE = [
     # relational core
     "pricing_summary",
     "revenue_per_nation",
+    "top_orders",
     "semi_anti_join",
     "running_window",
     "sessionize",

@@ -19,6 +19,7 @@ Usage:
 from __future__ import annotations
 
 import json
+import math
 import os
 import subprocess
 import sys
@@ -147,9 +148,30 @@ def scaling_job(spark) -> dict:
     # never measured on its first task)
     _force(extract_triples(pages.limit(2000).select("url", "text")))
 
-    t0 = time.time()
-    n_triples = _force(extract_triples(pages.select("url", "text")))
-    t_extract = time.time() - t0
+    def best_of(make_df, n: int = 2) -> tuple[int, float]:
+        """min wall time over n evaluations — this shared host shows
+        ±25% co-tenant spikes on identical stages (measured: extract at
+        local[8] swung 4.9s↔6.3s across runs with no code change); the
+        minimum is the machine-capability number the efficiency
+        criterion is about.
+
+        make_df receives the iteration index: string-keyed stages MUST
+        salt their inputs per iteration, because the executor-side
+        lru_caches otherwise warm asymmetrically — at 8 workers each
+        cache holds its ~50k-key shard (all-hit second pass) while at 2
+        workers 200k keys evict (all-miss), which fabricates superlinear
+        scaling (measured: a same-input best-of-2 reported 1.10)."""
+        best, rows = math.inf, 0
+        for i in range(n):
+            t0 = time.time()
+            rows = _force(make_df(i))
+            best = min(best, time.time() - t0)
+        return rows, best
+
+    n_triples, t_extract = best_of(
+        # extract has no executor-side cache; same input each pass
+        lambda i: extract_triples(pages.select("url", "text"))
+    )
 
     # deterministic scoring pairs: page title-ish keyword vs a mutated
     # literal (exercises normalization + expansion + the 4-metric
@@ -174,10 +196,15 @@ def scaling_job(spark) -> dict:
         .localCheckpoint(eager=True)
     )
     n_pairs = pairs.count()
-    t0 = time.time()
-    scored = pairs.withColumn("asm", asm_udf(())(F.col("kw"), F.col("lit")))
-    _force(scored)
-    t_asm = time.time() - t0
+    _, t_asm = best_of(
+        # per-iteration salt keeps the executor lru_cache cold (see
+        # best_of docstring) while the compute shape stays identical
+        lambda i: pairs.withColumn(
+            "kw", F.concat(F.col("kw"), F.lit(f" z{i}"))
+        )
+        .withColumn("lit", F.concat(F.col("lit"), F.lit(f" z{i}")))
+        .withColumn("asm", asm_udf(())(F.col("kw"), F.col("lit")))
+    )
 
     # RDS chunk kernels: one applyInPandas group per synthetic chunk of
     # 20 pages — the disambiguation hot path (pure-Python per-chunk
@@ -242,17 +269,25 @@ def scaling_job(spark) -> dict:
     )
     chunk_rows.count()
     kernel = make_chunk_kernel(textp=[], stopwords=())
-    t0 = time.time()
     # bucket 8 chunks per pandas group (matcher default) — amortizes
-    # the Arrow group-dispatch overhead over the 2,500 tiny chunks
-    n_rds = _force(
-        chunk_rows.withColumn(
+    # the Arrow group-dispatch overhead over the 2,500 tiny chunks.
+    # Literals are salted per iteration (cold asm caches, identical
+    # compute shape — the kw column is left unsalted so the searched
+    # label still matches the candidate literal prefix in F12).
+    n_rds, t_rds = best_of(
+        lambda i: chunk_rows.withColumn(
+            "o",
+            F.when(
+                F.col("role") == "cand",
+                F.concat(F.col("o"), F.lit(f"-z{i}")),
+            ).otherwise(F.col("o")),
+        )
+        .withColumn(
             "kernel_bucket", F.floor(F.col("chunk_id") / F.lit(8))
         )
         .groupBy("kernel_bucket")
         .applyInPandas(kernel, CHUNK_OUTPUT_SCHEMA)
     )
-    t_rds = time.time() - t0
 
     t0 = time.time()
     n_sig = _force(minhash_signatures(pages, id_col="doc_id", num_hashes=12))
@@ -339,7 +374,14 @@ candidate similarity scoring (advanced_string_matching pandas UDF,
 chunk kernels (applyInPandas over 2,500 chunks). Identical input
 parquet (64 partitions, pre-materialized), identical code, fresh JVM
 per run, all outputs force-evaluated (column-hash, not count, so
-Catalyst cannot prune the measured work).
+Catalyst cannot prune the measured work). Each stage is evaluated
+twice and the MINIMUM wall time reported: this shared host shows
+±25% co-tenant spikes on identical stages (measured across clean
+runs), and the machine-capability minimum is what the scaling
+criterion is about. String-keyed stages are salted per iteration so
+executor-side lru_caches stay cold every pass — a same-input repeat
+warms asymmetrically (8 workers shard the keyspace under the cache
+bound, 2 workers evict) and fabricates superlinear scaling.
 
 | parallelism | pipeline (s) | extract (s) | asm scoring (s) | rds kernels (s) | pages/s | triples/s |
 |---|---|---|---|---|---|---|

@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=32)
     p.add_argument("--dbpedia-target", action="store_true")
+    p.add_argument(
+        "--drop-redirect-candidates",
+        action="store_true",
+        help="F7 search-time redirect anti-join (dead code in the "
+        "reference; trades alias-only recall for candidate budget)",
+    )
     return p
 
 
@@ -66,6 +72,7 @@ def main(argv: list[str] | None = None) -> int:
         run_id=args.run_id,
         shuffle_partitions=args.shuffle_partitions,
         dbpedia_target=args.dbpedia_target,
+        drop_redirect_candidates=args.drop_redirect_candidates,
     )
     from pyspark.sql import SparkSession
 

@@ -44,3 +44,55 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_time_buckets(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    schema=None,
+):
+    """Watermarked event-time windowed aggregation — the streaming form
+    of the batch time_buckets query: tumbling windows over event time,
+    late rows beyond the watermark dropped, finalized windows appended
+    exactly once.
+
+    Built entirely from Spark primitives (withWatermark + window +
+    groupBy count/sum): state is one row per (window, event_type) and
+    the watermark bounds it — the scale-correct shape for an unbounded
+    event stream. Returns the StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    if schema is None:
+        schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+        # watermarks require TimestampType; events carry TIMESTAMP_NTZ
+        # (cast is exact under the session's UTC timezone)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n",
+            "v",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -87,9 +87,15 @@ def make_sessionizer(
             if pdf.empty:
                 continue
             # microsecond epoch; sort by event time then id for
-            # deterministic per-batch replay
+            # deterministic per-batch replay. Normalize to ns first:
+            # a datetime64[us]-unit series would otherwise make
+            # .astype(int64) yield microseconds and the //1000 shift
+            # units silently.
             us = (
-                pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+                pd.to_datetime(pdf["ts"])
+                .astype("datetime64[ns]")
+                .astype("int64")
+                // 1000
             ).to_numpy()
             order = pdf.assign(_us=us).sort_values(["_us", "event_id"])
             for t in order["_us"].to_numpy():

@@ -69,7 +69,7 @@ def test_stream_sessionize_matches_batch_rule(spark, ordered_events, tmp_path):
         spark, ordered_events, out, ckpt, gap_seconds=3600.0,
         timeout_ms=None,
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not terminate in 300s"
 
     got = sorted(
         (
