@@ -600,6 +600,16 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_read(spark, sf_dir, "documents"))
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serimi_rdf_interlinking_spark.operators.textstats import (
+        pack_documents,
+    )
+
+    return pack_documents(
+        _read(spark, sf_dir, "documents"), max_tokens=512, range_width=1000
+    )
+
+
 # ---------------------------------------------------------------------------
 # SERIMI end-to-end (rows-only: the scoring kernels are not ANSI SQL)
 # ---------------------------------------------------------------------------
@@ -680,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "pack_documents": q_pack_documents,
         "serimi_alignment": q_serimi_alignment,
         "advanced_string_matching": q_advanced_string_matching,
     }
@@ -1195,6 +1206,42 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT
          AS bpe_ish_tokens
 FROM documents ORDER BY doc_id
+"""
+
+    # greedy context-window packing as a per-range recursive fold —
+    # exact mirror of pack_documents' sequential kernel
+    sql["pack_documents"] = r"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             x -> x <> ''))::BIGINT AS n_tokens,
+         (doc_id // 1000) AS rng,
+         row_number() OVER (PARTITION BY (doc_id // 1000)
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+fold(rng, rn, doc_id, n_tokens, bin_ord, fill) AS (
+  SELECT rng, rn, doc_id, n_tokens, 0::BIGINT, n_tokens
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.rng, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN f.fill > 0 AND f.fill + t.n_tokens > 512
+              THEN f.bin_ord + 1 ELSE f.bin_ord END,
+         CASE WHEN f.fill > 0 AND f.fill + t.n_tokens > 512
+              THEN t.n_tokens ELSE f.fill + t.n_tokens END
+  FROM toks t JOIN fold f ON t.rng = f.rng AND t.rn = f.rn + 1
+),
+assigned AS (
+  SELECT doc_id, rng * 1000000 + bin_ord AS bin_id, n_tokens, fill
+  FROM fold
+),
+sizes AS (
+  SELECT bin_id, max(fill) AS bin_tokens FROM assigned GROUP BY bin_id
+)
+SELECT a.doc_id, a.bin_id, a.n_tokens, s.bin_tokens
+FROM assigned a JOIN sizes s USING (bin_id)
+ORDER BY a.doc_id
 """
 
     sql["fingerprint"] = f"""

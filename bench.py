@@ -44,6 +44,7 @@ HEADLINE = [
     "quality_score",
     "token_counts",
     "fingerprint",
+    "pack_documents",
     # flagship end-to-end matcher (fixture-based, fixed size)
     "serimi_alignment",
 ]

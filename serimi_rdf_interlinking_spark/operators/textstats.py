@@ -114,3 +114,71 @@ def fingerprint(
         F.md5(norm).alias("fp_exact"),
         F.md5(bow).alias("fp_bow"),
     ).orderBy(id_col)
+
+
+def pack_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 2048,
+    range_width: int = 1000,
+) -> DataFrame:
+    """Context-window packing: greedy first-fit of documents into bins
+    of at most `max_tokens` whitespace tokens — the pretraining
+    data-prep step that turns a corpus into fixed-budget training
+    sequences. Returns (doc_id, bin_id, n_tokens, bin_tokens).
+
+    Determinism + scale: docs are grouped into VALUE-based id ranges
+    (range = floor(doc_id / range_width)) — no global sort, no
+    single-partition window, fully parallel — and packed greedily in
+    doc_id order within each range (bin_id = range * 1_000_000 +
+    bin-ordinal). Packing never crosses a range boundary, which is the
+    documented trade for parallelism (at most one under-filled bin per
+    range). A document longer than max_tokens gets its own bin. The
+    per-range pandas fold is a bounded sequential loop — ranges are the
+    parallelism unit, so range_width controls group size.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).cast("long").alias("n_tokens"),
+    ).withColumn("rng", F.floor(F.col("doc_id") / F.lit(range_width)))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        rng = int(pdf["rng"].iloc[0])
+        bins, fills = [], []
+        bin_ord, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > max_tokens:
+                bin_ord += 1
+                fill = 0
+            fill += n
+            bins.append(rng * 1_000_000 + bin_ord)
+            fills.append(fill)
+        out = pdf[["doc_id", "n_tokens"]].copy()
+        out["bin_id"] = bins
+        # bin_tokens = final fill of each bin
+        out["bin_tokens"] = (
+            pd.Series(bins, index=out.index).map(
+                pd.Series(fills, index=bins).groupby(level=0).max()
+            )
+        )
+        return out[["doc_id", "bin_id", "n_tokens", "bin_tokens"]]
+
+    return (
+        toks.groupBy("rng")
+        .applyInPandas(
+            pack, "doc_id long, bin_id long, n_tokens long, bin_tokens long"
+        )
+        .orderBy("doc_id")
+    )

@@ -224,3 +224,29 @@ def test_dedup_clusters_transitive(spark):
     }
     assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
     assert out[50] == (50, 1)
+
+
+def test_pack_documents_greedy(spark):
+    """Hand-computed greedy first-fit: capacity 10, docs of 4/5/3/9/2
+    tokens in one range -> bins [4+5], [3], [9], [2]? No: greedy packs
+    3 after 4+5 overflows? 4+5=9, +3 -> 12 > 10 so bin1 closes at 9;
+    bin2 = 3, +9 -> 12 > 10 so bin2 closes at 3; bin3 = 9, +2 -> 11 >
+    10 so bin4 = 2. An 11-token doc gets its own (overflowing) bin."""
+    rows = [
+        (0, "a b c d"),            # 4
+        (1, "a b c d e"),          # 5
+        (2, "a b c"),              # 3
+        (3, "a b c d e f g h i"),  # 9
+        (4, "a b"),                # 2
+        (5, " ".join("x" * 1 for _ in range(11))),  # 11 > capacity
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.bin_id, r.n_tokens, r.bin_tokens)
+        for r in TX.pack_documents(df, max_tokens=10, range_width=100).collect()
+    }
+    assert out[0] == (0, 4, 9) and out[1] == (0, 5, 9)
+    assert out[2] == (1, 3, 3)
+    assert out[3] == (2, 9, 9)
+    assert out[4] == (3, 2, 2)
+    assert out[5] == (4, 11, 11)
