@@ -230,3 +230,20 @@ def test_recall_diagnosis(spark):
         ("s2", "searched_but_unresolved"),
         ("s3", "never_searched"),
     }
+
+
+def test_connected_components_deep_chain_pointer_jumping(spark):
+    """A 300-node path graph: plain min-label propagation needs 299
+    rounds; pointer jumping must converge within the default 25."""
+    from serimi_rdf_interlinking_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(299)]
+        + [("z0", "z1"), ("z1", "z2")],  # a second, separate component
+        ["src", "dst"],
+    )
+    cc = {r.node: r.component for r in connected_components(edges).collect()}
+    assert all(cc[f"n{i:04d}"] == "n0000" for i in range(300))
+    assert cc["z0"] == cc["z1"] == cc["z2"] == "z0"
