@@ -386,6 +386,12 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Cosine near-duplicates within blocking keys (brute force within
     block; blocks bound the quadratic term). Returns (id_a, id_b, cos)."""
+    if block_col is None:
+        log.warning(
+            "embedding_near_dup: block_col=None degenerates to an "
+            "all-pairs cartesian — fine for small corpora; at scale "
+            "pass a blocking column or use similarity.ann_lsh_topk"
+        )
     e = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
