@@ -567,8 +567,11 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path — no SQL oracle (bucketing is engine-specific);
-    recall vs the brute-force baseline is asserted in pytest."""
+    """ANN scale path. The SRP hyperplanes are deterministic md5 bytes,
+    so the bucketing IS oracle-expressible: the DuckDB oracle embeds the
+    same plane vectors as literals and reproduces bucket + Hamming-1
+    probes + top-k exactly (see _ann_lsh_sql). Recall vs the brute-force
+    baseline is additionally asserted in pytest."""
     from serimi_rdf_interlinking_spark.operators.similarity import ann_lsh_topk
 
     embs = _read(spark, sf_dir, "embeddings")
@@ -704,6 +707,61 @@ _NORM_SQL = "lower(trim(regexp_replace({col}, '[^A-Za-z0-9]+', ' ', 'g')))"
 _TOKS_SQL = (
     "list_filter(string_split(" + _NORM_SQL + ", ' '), x -> x <> '')"
 )
+
+
+def _ann_lsh_sql(
+    dim: int = 64, n_planes: int = 3, k: int = 5, max_query_id: int = 8
+) -> str:
+    """Oracle for ann_lsh_topk: the SRP hyperplanes are deterministic
+    md5-derived floats (similarity._hyperplanes), so they embed in the
+    SQL as DOUBLE[] literals; bucket bit i = (dot(v, plane_i) >= 0).
+    Probes = own bucket + every bucket at Hamming distance 1 (xor with
+    each single-bit mask) — the exact multiprobe=1 set the Spark
+    operator scans. Final top-k via row_number reproduces the
+    (-cos, neighbor_id) merge order of _partial_topk."""
+    from serimi_rdf_interlinking_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+
+    def lit(p: list) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+    def bucket(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {lit(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    probe_masks = ", ".join(["(0)"] + [f"({1 << i})" for i in range(n_planes)])
+    return f"""
+WITH corpus AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v,
+         {bucket("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings
+), q0 AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         {bucket("embedding::DOUBLE[]")} AS bucket0
+  FROM embeddings WHERE vec_id < {max_query_id}
+), q AS (
+  SELECT query_id, qv, xor(bucket0, m) AS bucket
+  FROM q0, (VALUES {probe_masks}) t(m)
+), scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(list_dot_product(q.qv, c.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+  FROM q JOIN corpus c ON q.bucket = c.bucket
+  WHERE q.query_id <> c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rk FROM ranked
+WHERE rk <= {k} ORDER BY query_id, rk
+"""
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -1070,7 +1128,7 @@ WITH g AS (
          THEN 1 ELSE 0 END AS new_session
   FROM events
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id ORDER BY user_id
 """
 
@@ -1169,6 +1227,8 @@ scored AS (
 SELECT query_id, neighbor_id, cos, rk FROM ranked
 WHERE rk <= 5 ORDER BY query_id, rk
 """
+
+    sql["ann_lsh_topk"] = _ann_lsh_sql(dim=64, n_planes=3, k=5, max_query_id=8)
 
     sql["language_id"] = _langid_sql()
 

@@ -17,7 +17,6 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -26,6 +25,59 @@ def _dot(a: Column, b: Column) -> Column:
 
 def _norm(c: Column) -> Column:
     return F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Scale-safe top-k per query over (query_id, neighbor_id, cos).
+
+    Two-level truncating aggregate instead of a row_number() window:
+    a window shuffles EVERY scored corpus row for a query into that
+    query's single partition and fully sorts it — at a 100-TB corpus
+    the per-query fan-in is a straggler/spill machine. Here level 1
+    groups by (query_id, input partition) — no shuffle moves raw rows;
+    each group truncates to its local top-k via
+    slice(sort_array(collect_list(struct(-cos, neighbor_id))), 1, k) —
+    so the one shuffle carries at most k rows per (query, partition).
+    Level 2 merges those k-lists to the final top-k. Any global top-k
+    element is in its own partition's top-k, so the union of local
+    winners always contains the answer; the (-cos, neighbor_id) struct
+    sort reproduces the window's (desc cos, asc neighbor_id) total
+    order exactly, ties included.
+    Returns (query_id, neighbor_id, cos, rk) like the window form."""
+    pack = F.slice(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cos")).alias("nc"),
+                    F.col("neighbor_id").alias("nid"),
+                )
+            )
+        ),
+        1,
+        k,
+    )
+    local = (
+        scored.groupBy("query_id", F.spark_partition_id().alias("part"))
+        .agg(pack.alias("top"))
+        .select("query_id", F.explode("top").alias("t"))
+        .select("query_id", F.col("t.nc").alias("nc"), F.col("t.nid").alias("nid"))
+    )
+    return (
+        local.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("nc", "nid"))), 1, k
+            ).alias("top")
+        )
+        .select("query_id", F.posexplode("top").alias("pos", "t"))
+        .select(
+            "query_id",
+            F.col("t.nid").alias("neighbor_id"),
+            (-F.col("t.nc")).alias("cos"),
+            (F.col("pos") + 1).alias("rk"),
+        )
+        .orderBy("query_id", "rk")
+    )
 
 
 def cosine_topk(
@@ -57,15 +109,7 @@ def cosine_topk(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos", "rk")
-        .orderBy("query_id", "rk")
-    )
+    return _partial_topk(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
@@ -138,10 +182,4 @@ def ann_lsh_topk(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos", "rk")
-        .orderBy("query_id", "rk")
-    )
+    return _partial_topk(scored, k)

@@ -47,6 +47,15 @@ def _diff(sdf, odf):
     if len(s) != len(o):
         return f"rows {len(s)} vs {len(o)}"
     for c in scols:
+        # Dtype-strict: the driver hashes the materialized pandas values,
+        # so an int64-vs-float64 skew (e.g. DuckDB sum(int) -> HUGEINT ->
+        # float64) fails its hash even when every value is equal.  The
+        # round-1/2 `sessionize` red survived this gate because we only
+        # compared values with tolerance — never again.
+        sk, ok_ = s[c].dtype.kind, o[c].dtype.kind
+        if sk != ok_:
+            return f"dtype skew in column {c}: spark {s[c].dtype} vs oracle {o[c].dtype}"
+    for c in scols:
         try:
             if not np.allclose(
                 s[c].astype(float), o[c].astype(float),

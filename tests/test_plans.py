@@ -58,6 +58,29 @@ def test_dedup_plan_has_no_python(spark):
     assert "ObjectHashAggregate" not in _plan(simhash(docs))
 
 
+def test_topk_is_partial_aggregate_not_window(spark):
+    """cosine_topk / ann_lsh_topk must top-k via the two-level
+    truncating aggregate (map-side local top-k, then merge) — a
+    row_number() Window would shuffle every scored corpus row into one
+    partition per query and fully sort it, which spills/straggles at a
+    100-TB corpus (round-2 verdict, 'What's wrong' #2)."""
+    from serimi_rdf_interlinking_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk,
+    )
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 4)
+    for df in (
+        cosine_topk(embs, queries, k=3),
+        ann_lsh_topk(embs, queries, k=3, n_planes=3),
+    ):
+        plan = _plan(df)
+        assert "Window" not in plan
+        # collect_list-based truncating agg uses object buffers
+        assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
 def test_semi_join_is_semi_in_plan(spark):
     cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
