@@ -30,6 +30,7 @@ HEADLINE = [
     "pricing_summary",
     "revenue_per_nation",
     "top_orders",
+    "local_supplier_volume",
     "semi_anti_join",
     "running_window",
     "sessionize",

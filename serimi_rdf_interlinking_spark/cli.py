@@ -35,6 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-u", "--use-pivot", action="store_true")
     p.add_argument("--no-blocking", action="store_true")
     p.add_argument("-f", "--format", choices=["txt", "nt"], default="txt")
+    p.add_argument(
+        "-a", "--append",
+        action="store_true",
+        help="merge with existing output instead of truncating "
+        "(reference -a, initializer.rb:23-25) — idempotent: re-running "
+        "the same job yields identical output, never duplicated lines",
+    )
     p.add_argument("--mode", choices=["batch", "sequential"], default="batch")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--run-id", default="run0")
@@ -82,7 +89,10 @@ def main(argv: list[str] | None = None) -> int:
     source = read_table(spark, args.source)
     target = read_table(spark, args.target)
     res = SerimiMatcher(cfg).run(spark, source, target, args.klass)
-    write_alignments(res.alignments, args.output, cfg.output_format)
+    write_alignments(
+        res.alignments, args.output, cfg.output_format,
+        mode="append" if args.append else "overwrite",
+    )
     n = res.alignments.count()
     print(f"wrote {n} alignments to {args.output} ({cfg.output_format})")
     if not preexisting:

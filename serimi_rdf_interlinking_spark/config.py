@@ -40,9 +40,10 @@ class SerimiConfig:
                                      # "sequential" = reference-parity driver loop
     shuffle_partitions: int = 32
     # hot-token skew guard: tokens with index fan-out above this are
-    # dropped from the inverted index entirely (frequency prefilter,
-    # logged) — this bounds every token-join key at the ceiling, which
-    # is why there is no separate salting knob for the index join.
+    # capped to a deterministic sample of exactly this many rows
+    # (frequency prefilter + truncating top-k, logged) — this bounds
+    # every token-join key at the ceiling, which is why there is no
+    # separate salting knob for the index join.
     max_candidates_per_token: int = 5000
     # batch-mode RDS kernel: number of chunks scored inside one pandas
     # group. Thousands of ~20-row chunks as individual applyInPandas

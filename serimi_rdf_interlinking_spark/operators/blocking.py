@@ -26,6 +26,7 @@ def blocking_order(
     members: DataFrame,
     labels: list[str],
     cfg: SerimiConfig,
+    mat=None,
 ) -> DataFrame:
     """Returns (s, rank, chunk_id) for every source with a label value.
 
@@ -33,6 +34,14 @@ def blocking_order(
     their tokens' document frequency (first occurrence wins). Sources
     without any label triple never enter $bdata — they are excluded
     here too (the caller logs the count).
+
+    ``mat`` materializes the range-partitioned frame before the
+    partition-count collect (the partition ids MUST be pinned:
+    repartitionByRange samples, so a recompute could re-draw ranges and
+    desynchronize the collected offsets from the later rank pass).
+    The matcher passes its tracked ``_mat`` so the blocks are released
+    at end-of-run; standalone callers get an untracked eager
+    localCheckpoint.
     """
     spark = triples.sparkSession
     data = None
@@ -81,7 +90,7 @@ def blocking_order(
     # Python RDD round trip).
     ordered = keyed.repartitionByRange(max(triples.sparkSession.sparkContext.defaultParallelism, 1), "k")
     ordered = ordered.withColumn("pid", F.spark_partition_id())
-    ordered.persist()
+    ordered = (mat or (lambda df: df.localCheckpoint(eager=True)))(ordered)
     part_counts = (
         ordered.groupBy("pid").agg(F.count("*").alias("n")).orderBy("pid").collect()
     )

@@ -96,15 +96,24 @@ def build_token_index(
     values.
 
     Skew guard: tokens whose index fan-out exceeds
-    cfg.max_candidates_per_token are dropped from the index ENTIRELY
-    (frequency prefilter + broadcast anti-join) and the drop count is
-    logged. A hot token ('john' across 1M person labels) contributes
-    no phrase selectivity — tier-1 joins only each keyword's rarest
-    token — but its fan-in would otherwise be sorted in a single task
-    by a per-token row_number cap and would quadratically fan out the
-    tier-2 AND join. Dropping bounds every downstream token join at
-    max_candidates_per_token rows per key, which makes hot-key salting
-    unnecessary for this join."""
+    cfg.max_candidates_per_token are CAPPED to a deterministic sample
+    of that many rows (the cap smallest (cand, p, norm_o) triples,
+    chosen by a two-level truncating aggregate so no single task ever
+    sorts a hot token's full fan-in). A hot token ('john' across 1M
+    person labels) contributes no phrase selectivity — tier-1 joins
+    only each keyword's rarest token — but its uncapped fan-in would
+    quadratically fan out the tier-2 AND join. Capping (rather than
+    dropping, the pre-round-3 behavior) keeps a keyword findable even
+    when EVERY one of its tokens is hot, while still bounding every
+    downstream token join at max_candidates_per_token rows per key —
+    no hot-key salting needed. The capped-token list is collected to
+    the driver (it is small by construction: distinct tokens above the
+    ceiling) and embedded as an isin literal, so nothing stays
+    persisted after the build. When the batch-mode caller reuses this
+    guard after filtering to search_preds, a token hot on the
+    any-predicate index but cold under the restricted predicates is
+    capped unnecessarily — but never dropped to zero (the pre-round-3
+    recall edge)."""
     lits = target.filter(~F.col("o_is_uri") & ~F.col("is_bnode"))
     if search_predicates is not None:
         lits = lits.filter(F.col("p").isin(search_predicates))
@@ -146,21 +155,52 @@ def build_token_index(
         # the whole build (one full-plan job instead of two); the
         # anti-join stays lazy over the materialized frame.
         idx = mat(idx)
-    hot = (
-        idx.groupBy("tok")
+    cap = cfg.max_candidates_per_token
+    hot_list = [
+        r.tok
+        for r in idx.groupBy("tok")
         .agg(F.count("*").alias("fanout"))
-        .filter(F.col("fanout") > cfg.max_candidates_per_token)
-        .persist()
+        .filter(F.col("fanout") > cap)
+        .select("tok")
+        .collect()
+    ]
+    if not hot_list:
+        return idx
+    log.warning(
+        "build_token_index: capping %d hot tokens with fan-out > %d "
+        "to a deterministic %d-row sample each (bounded-fan-out skew "
+        "guard)",
+        len(hot_list),
+        cap,
+        cap,
     )
-    n_hot = hot.count()
-    if n_hot:
-        log.warning(
-            "build_token_index: dropping %d hot tokens with fan-out > %d "
-            "from the inverted index (bounded-recall skew guard)",
-            n_hot,
-            cfg.max_candidates_per_token,
+    is_hot = F.col("tok").isin(hot_list)
+    cold = idx.filter(~is_hot)
+    # two-level truncating top-k (same shape as similarity._partial_topk):
+    # level 1 truncates per (tok, input partition) map-side, so the
+    # shuffle carries at most cap rows per partition per hot token;
+    # level 2 merges to the final deterministic cap-row sample.
+    row = F.struct("cand", "p", "norm_o")
+    local = (
+        idx.filter(is_hot)
+        .groupBy("tok", F.spark_partition_id().alias("part"))
+        .agg(F.slice(F.sort_array(F.collect_list(row)), 1, cap).alias("top"))
+        .select("tok", F.explode("top").alias("t"))
+    )
+    capped = (
+        local.groupBy("tok")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("t")), 1, cap).alias("top")
         )
-    return idx.join(F.broadcast(hot.select("tok")), "tok", "left_anti")
+        .select("tok", F.explode("top").alias("t"))
+        .select(
+            F.col("t.cand").alias("cand"),
+            F.col("t.p").alias("p"),
+            F.col("t.norm_o").alias("norm_o"),
+            "tok",
+        )
+    )
+    return cold.unionByName(capped)
 
 
 # ---------------------------------------------------------------------------

@@ -137,21 +137,26 @@ def ngram_jaccard_pairs(
     the ceiling), so it is broadcast for the anti-join."""
     sh = _shingle_rows(docs, id_col, text_col, n)
     if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("sh")
+        # the hot set (df above the ceiling) is small by construction,
+        # so collect it to the driver and embed as an isin literal —
+        # no persist() lifecycle to leak across repeated builds in one
+        # session (round-2 verdict hygiene item).
+        hot_list = [
+            r.sh
+            for r in sh.groupBy("sh")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_shingle_df)
-            .persist()
-        )
-        n_hot = hot.count()
-        if n_hot:
+            .select("sh")
+            .collect()
+        ]
+        if hot_list:
             log.warning(
                 "ngram_jaccard_pairs: dropping %d hot shingles with "
                 "document frequency > %d before the inverted join",
-                n_hot,
+                len(hot_list),
                 max_shingle_df,
             )
-        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+            sh = sh.filter(~F.col("sh").isin(hot_list))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")

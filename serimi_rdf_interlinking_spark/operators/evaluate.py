@@ -97,12 +97,13 @@ def sameas_audit(
         "n_links",
         "n_redirected",
         "n_ambiguous",
-        F.round(F.col("n_redirected") / F.col("n_links"), 6).alias(
-            "ratio_redirected"
-        ),
-        F.round(F.col("n_ambiguous") / F.col("n_links"), 6).alias(
-            "ratio_ambiguous"
-        ),
+        # n_links == 0 would divide by zero -> null; report 0.0 instead
+        F.coalesce(
+            F.round(F.col("n_redirected") / F.col("n_links"), 6), F.lit(0.0)
+        ).alias("ratio_redirected"),
+        F.coalesce(
+            F.round(F.col("n_ambiguous") / F.col("n_links"), 6), F.lit(0.0)
+        ).alias("ratio_ambiguous"),
     )
 
 

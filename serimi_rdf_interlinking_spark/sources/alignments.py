@@ -17,25 +17,86 @@ from pyspark.sql import functions as F
 OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 
 
-def alignment_lines(alignments: DataFrame, fmt: str = "txt") -> DataFrame:
-    """One-column DataFrame of formatted output lines."""
+def _line_expr(fmt: str):
     strip = lambda c: F.regexp_replace(c, r"[<>]", "")
     if fmt == "txt":
-        line = F.concat(strip(F.col("source")), F.lit("="), strip(F.col("target")))
-    elif fmt == "nt":
-        line = F.concat(
+        return F.concat(strip(F.col("source")), F.lit("="), strip(F.col("target")))
+    if fmt == "nt":
+        return F.concat(
             F.lit("<"), strip(F.col("source")), F.lit("> <"),
             F.lit(OWL_SAMEAS), F.lit("> <"), strip(F.col("target")), F.lit("> ."),
         )
-    else:
-        raise ValueError(f"unknown alignment format {fmt!r}")
-    return alignments.select(line.alias("value")).orderBy("value")
+    raise ValueError(f"unknown alignment format {fmt!r}")
 
 
-def write_alignments(alignments: DataFrame, path: str, fmt: str = "txt") -> None:
+def alignment_lines(alignments: DataFrame, fmt: str = "txt") -> DataFrame:
+    """One-column DataFrame of formatted output lines."""
+    return alignments.select(_line_expr(fmt).alias("value")).orderBy("value")
+
+
+def write_alignments(
+    alignments: DataFrame, path: str, fmt: str = "txt", mode: str = "overwrite"
+) -> None:
     """Text sink (one file per partition; coalesce(1) for the
-    reference's single-file contract at small scale)."""
-    alignment_lines(alignments, fmt).coalesce(1).write.mode("overwrite").text(path)
+    reference's single-file contract at small scale).
+
+    mode="append" is the reference's -a flag (initializer.rb:23-25),
+    made IDEMPOTENT: existing lines are merged with the new ones,
+    deduplicated, and the directory is swapped in place — so a resumed
+    run that re-emits the same alignments yields byte-identical output
+    instead of doubled lines (a raw file-append would duplicate). The
+    swap goes through the Hadoop FileSystem API, so it works on any
+    supported filesystem, not just local paths. For the per-chunk
+    scale path (replace exactly one chunk's partition on re-emit) see
+    write_alignments_by_chunk."""
+    lines = alignment_lines(alignments, fmt)
+    spark = alignments.sparkSession
+    if mode == "append":
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            merged = (
+                spark.read.text(path)
+                .unionByName(lines)
+                .distinct()
+                .orderBy("value")
+            )
+            tmp = jvm.org.apache.hadoop.fs.Path(path + ".__append_tmp__")
+            merged.coalesce(1).write.mode("overwrite").text(str(tmp))
+            fs.delete(hpath, True)
+            fs.rename(tmp, hpath)
+            return
+    elif mode != "overwrite":
+        raise ValueError(f"unknown write mode {mode!r}")
+    lines.coalesce(1).write.mode("overwrite").text(path)
+
+
+def write_alignments_by_chunk(
+    scores: DataFrame, path: str, fmt: str = "txt"
+) -> None:
+    """Per-chunk idempotent sink — the S6 scale contract for resumed
+    runs: alignment lines land in a chunk_id-partitioned text table
+    written with DYNAMIC partition overwrite, so re-emitting a chunk
+    replaces exactly that chunk's partition and leaves every other
+    chunk's files untouched (overwrite-by-filter, no global rewrite,
+    no duplicates). Input is MatchResult.scores
+    (chunk_id, src, cand, ..., accepted)."""
+    spark = scores.sparkSession
+    accepted = scores.filter("accepted").select(
+        F.col("chunk_id"),
+        F.col("src").alias("source"),
+        F.col("cand").alias("target"),
+    ).distinct()
+    out = accepted.select(
+        "chunk_id", _line_expr(fmt).alias("value")
+    ).sortWithinPartitions("chunk_id", "value")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("chunk_id").text(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def read_gold_alignments(spark: SparkSession, path: str) -> DataFrame:

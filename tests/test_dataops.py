@@ -185,8 +185,10 @@ def test_lsh_verify_is_candidate_bounded(docs):
 
 
 def test_token_index_hot_token_guard(spark, caplog):
-    """build_token_index drops tokens whose fan-out exceeds the ceiling
-    and logs the drop count; cold tokens are untouched."""
+    """build_token_index caps tokens whose fan-out exceeds the ceiling
+    to a deterministic sample of exactly ceiling rows (never drops them
+    to zero — an all-hot-token keyword must stay findable) and logs the
+    cap count; cold tokens are untouched."""
     import logging
 
     from serimi_rdf_interlinking_spark.config import SerimiConfig
@@ -202,10 +204,44 @@ def test_token_index_hot_token_guard(spark, caplog):
     cfg = SerimiConfig(max_candidates_per_token=10)
     with caplog.at_level(logging.WARNING, logger="serimi_rdf_interlinking_spark.operators.candidates"):
         idx = build_token_index(tgt, None, cfg)
-        toks = {r.tok for r in idx.collect()}
+        got = idx.collect()
+    toks = {r.tok for r in got}
     assert any("hot tokens" in r.message for r in caplog.records)
-    assert "hot" not in toks           # fan-out 20 > ceiling 10 -> dropped
+    # fan-out 20 > ceiling 10 -> capped to exactly 10 deterministic rows
+    hot_rows = sorted(r.cand for r in got if r.tok == "hot")
+    assert len(hot_rows) == 10
+    # the sample is the lexicographically smallest cands (deterministic)
+    assert hot_rows == sorted(f"http://t/e{i}" for i in range(20))[:10]
     assert "rare0" in toks and "rare19" in toks
+
+
+def test_matcher_releases_checkpoint_storage(spark):
+    """After run(), only the result-backing checkpoint may stay
+    persisted — intermediates must release their blocks, so repeated
+    matcher runs in one session don't accumulate executor storage."""
+    from serimi_rdf_interlinking_spark.config import SerimiConfig
+    from serimi_rdf_interlinking_spark.matcher import SerimiMatcher
+    from serimi_rdf_interlinking_spark.sources.fixtures import (
+        CLASS_CITY,
+        build_interlinking_fixture,
+    )
+    from serimi_rdf_interlinking_spark.sources.triples import TRIPLE_SCHEMA
+
+    fx = build_interlinking_fixture(n_entities=12, seed=3)
+    src = spark.createDataFrame(fx.source, TRIPLE_SCHEMA)
+    tgt = spark.createDataFrame(fx.target, TRIPLE_SCHEMA)
+    cfg = SerimiConfig(shuffle_partitions=4)
+    # delta-based: other tests in this shared session may hold their own
+    # localCheckpoints; the matcher must add at most ONE (scored).
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    res = SerimiMatcher(cfg).run(spark, src, tgt, CLASS_CITY)
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before + 1, (
+        f"matcher leaked checkpoints: {before} persisted before run(), "
+        f"{after} after"
+    )
+    # the kept checkpoint must still serve the result
+    assert res.alignments.count() > 0
 
 
 def test_dedup_clusters_transitive(spark):
