@@ -596,6 +596,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """block_col=None path: SRP buckets + Hamming<=1 probes replace the
+    round-2 cartesian fallback; the oracle mirrors the bucket keys."""
+    from serimi_rdf_interlinking_spark.operators.dedup import embedding_near_dup
+
+    return embedding_near_dup(
+        _read(spark, sf_dir, "embeddings"),
+        block_col=None,
+        threshold=0.3,
+        n_planes=4,
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serimi_rdf_interlinking_spark.operators.similarity import cosine_topk
 
@@ -726,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_srp": q_embedding_near_dup_srp,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "language_id": q_language_id,
@@ -748,16 +762,11 @@ _TOKS_SQL = (
 )
 
 
-def _ann_lsh_sql(
-    dim: int = 64, n_planes: int = 3, k: int = 5, max_query_id: int = 8
-) -> str:
-    """Oracle for ann_lsh_topk: the SRP hyperplanes are deterministic
-    md5-derived floats (similarity._hyperplanes), so they embed in the
-    SQL as DOUBLE[] literals; bucket bit i = (dot(v, plane_i) >= 0).
-    Probes = own bucket + every bucket at Hamming distance 1 (xor with
-    each single-bit mask) — the exact multiprobe=1 set the Spark
-    operator scans. Final top-k via row_number reproduces the
-    (-cos, neighbor_id) merge order of _partial_topk."""
+def _srp_sql_parts(dim: int, n_planes: int):
+    """Shared SRP-in-SQL pieces: a bucket() expression builder over the
+    deterministic md5-derived hyperplanes (embedded as DOUBLE[]
+    literals; bit i = (dot(v, plane_i) >= 0)), and the VALUES list of
+    Hamming<=1 probe masks."""
     from serimi_rdf_interlinking_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, n_planes)
@@ -773,6 +782,19 @@ def _ann_lsh_sql(
         )
 
     probe_masks = ", ".join(["(0)"] + [f"({1 << i})" for i in range(n_planes)])
+    return bucket, probe_masks
+
+
+def _ann_lsh_sql(
+    dim: int = 64, n_planes: int = 3, k: int = 5, max_query_id: int = 8
+) -> str:
+    """Oracle for ann_lsh_topk: the SRP bucketing is deterministic, so
+    it is fully SQL-expressible (see _srp_sql_parts). Probes = own
+    bucket + every bucket at Hamming distance 1 — the exact
+    multiprobe=1 set the Spark operator scans. Final top-k via
+    row_number reproduces the (-cos, neighbor_id) merge order of
+    _partial_topk."""
+    bucket, probe_masks = _srp_sql_parts(dim, n_planes)
     return f"""
 WITH corpus AS (
   SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v,
@@ -800,6 +822,38 @@ WITH corpus AS (
 )
 SELECT query_id, neighbor_id, cos, rk FROM ranked
 WHERE rk <= {k} ORDER BY query_id, rk
+"""
+
+
+def _embedding_near_dup_srp_sql(
+    dim: int = 64, n_planes: int = 4, threshold: float = 0.3
+) -> str:
+    """Oracle for embedding_near_dup(block_col=None): the SRP-bucketed
+    default. Side a explodes Hamming<=1 probe keys; a pair compares
+    iff their buckets differ in at most one bit (exactly one probe can
+    match, and id_a < id_b keeps one orientation) — mirrors the Spark
+    plan key-for-key."""
+    bucket, probe_masks = _srp_sql_parts(dim, n_planes)
+    cos = (
+        "round(list_dot_product(va, vb)"
+        " / (sqrt(list_dot_product(va, va))"
+        " * sqrt(list_dot_product(vb, vb))), 6)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         {bucket("embedding::DOUBLE[]")} AS blk
+  FROM embeddings
+), a AS (
+  SELECT id AS id_a, v AS va, xor(blk, m) AS blk
+  FROM e, (VALUES {probe_masks}) t(m)
+), b AS (
+  SELECT id AS id_b, v AS vb, blk FROM e
+)
+SELECT id_a, id_b, {cos} AS cos
+FROM a JOIN b USING (blk)
+WHERE id_a < id_b AND {cos} >= {threshold}
+ORDER BY id_a, id_b
 """
 
 
@@ -1283,6 +1337,10 @@ WHERE rk <= 5 ORDER BY query_id, rk
 """
 
     sql["ann_lsh_topk"] = _ann_lsh_sql(dim=64, n_planes=3, k=5, max_query_id=8)
+
+    sql["embedding_near_dup_srp"] = _embedding_near_dup_srp_sql(
+        dim=64, n_planes=4, threshold=0.3
+    )
 
     sql["language_id"] = _langid_sql()
 

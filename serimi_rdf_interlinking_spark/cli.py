@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shuffle-partitions", type=int, default=32)
     p.add_argument("--dbpedia-target", action="store_true")
     p.add_argument(
+        "--word-by-word",
+        action="store_true",
+        help="J4 word-by-word fallback tier (dead code in the "
+        "reference, $word_by_word never set; intended semantics "
+        "implemented opt-in)",
+    )
+    p.add_argument(
         "--drop-redirect-candidates",
         action="store_true",
         help="F7 search-time redirect anti-join (dead code in the "
@@ -80,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
         dbpedia_target=args.dbpedia_target,
         drop_redirect_candidates=args.drop_redirect_candidates,
+        word_by_word=args.word_by_word,
     )
     from pyspark.sql import SparkSession
 

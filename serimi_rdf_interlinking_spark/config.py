@@ -54,6 +54,12 @@ class SerimiConfig:
     checkpoint_dir: str | None = None     # per-stage parquet checkpoints + pipeline_state
     run_id: str = "run0"
 
+    # J4 word-by-word fallback tier (search_module.rb:172-198). Dead
+    # code in the reference ($word_by_word is never set,
+    # search_module.rb:97) — opt-in here with the intended semantics:
+    # keywords failing tiers 1-2 retry token-by-token.
+    word_by_word: bool = False
+
     dbpedia_target: bool = False     # enables yago filter + redirect expansion (F6/F13)
     # F7 search-time redirect anti-join (search_module.rb:298-304).
     # Dead code in the reference (its call site :113 is commented out,

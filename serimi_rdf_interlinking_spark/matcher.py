@@ -46,6 +46,7 @@ from .operators.candidates import (
     phrase_hits,
     prepare_keywords,
     select_candidates,
+    word_hits,
 )
 from .operators.labels import (
     class_members,
@@ -137,7 +138,22 @@ class SerimiMatcher:
             p2 = self._mat(
                 f11_passing(h2, target, textp, stopwords, cfg), f"{name}_p2"
             )
-        cr = select_candidates(keywords, p1, p2)
+        # tier-3 word-by-word (J4) — opt-in: dead code in the reference
+        # ($word_by_word never set); only keywords that also failed
+        # tier-2 reach it. Promotion folding stays tier-1/2-driven (the
+        # reference's $found would never have come from this tier).
+        p3 = None
+        if cfg.word_by_word and p2 is not None:
+            failed2 = failed.join(
+                p2.select(*KW_KEY).distinct(), KW_KEY, "left_anti"
+            )
+            if not failed2.isEmpty():
+                h3 = word_hits(failed2, index, tiers, stopwords)
+                p3 = self._mat(
+                    f11_passing(h3, target, textp, stopwords, cfg),
+                    f"{name}_p3",
+                )
+        cr = select_candidates(keywords, p1, p2, p3)
         # one checkpoint for pairs+searched instead of two: both are
         # multi-consumer downstream, but each eager materialization is a
         # full Spark job and the fixed job overhead dominates at small

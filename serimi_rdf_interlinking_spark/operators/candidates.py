@@ -322,6 +322,52 @@ def and_hits(
 
 
 # ---------------------------------------------------------------------------
+# tier-3 word-by-word search (J4) for keywords without a tier-1/2 hit
+# ---------------------------------------------------------------------------
+
+
+def word_hits(
+    failed_keywords: DataFrame,
+    index: DataFrame,
+    tier_of_pred: dict[str, int] | None,
+    stopwords: tuple[str, ...],
+) -> DataFrame:
+    """(s, rank, chunk_id, label_idx, kw, word_pos, tier, cand) — J4.
+
+    DEAD CODE in the reference: `$word_by_word` is never set
+    (search_module.rb:97), so word_by_word_search
+    (search_module.rb:172-198) never runs; this implements its INTENDED
+    semantics behind the opt-in ``cfg.word_by_word`` flag, closing the
+    one §2 row without an implementation. For keywords that failed
+    tiers 1-2, each token searches ALONE (in keyword order, skipping
+    stopwords and tokens shorter than 3 chars — the reference's
+    `next if` guards); selection downstream keeps the first
+    (word_pos, tier) with a PASSING candidate, mirroring the
+    reference's break-on-first-passing-token outer loop with its
+    first-passing-predicate inner loop."""
+    toks = failed_keywords.select(
+        "s", "rank", "chunk_id", "label_idx", "kw",
+        F.posexplode(norm_tokens("kw_norm")).alias("word_pos", "tok"),
+    ).filter(F.length("tok") >= 3)
+    if stopwords:
+        toks = toks.filter(~F.col("tok").isin(list(stopwords)))
+    hits = toks.join(index, "tok")
+    if tier_of_pred is None:
+        hits = hits.withColumn("tier", F.lit(0))
+    else:
+        tier_map = F.create_map(
+            *[x for p, i in tier_of_pred.items() for x in (F.lit(p), F.lit(i))]
+        )
+        hits = hits.withColumn("tier", tier_map[F.col("p")]).filter(
+            F.col("tier").isNotNull()
+        )
+    return hits.select(
+        "s", "rank", "chunk_id", "label_idx", "kw", "word_pos", "tier",
+        "cand",
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
 # F11 — candidate-group similarity filter
 # ---------------------------------------------------------------------------
 
@@ -398,6 +444,7 @@ def select_candidates(
     keywords: DataFrame,
     passing_t1: DataFrame,
     passing_t2: DataFrame | None,
+    passing_t3: DataFrame | None = None,
 ) -> CandidateResult:
     """Reference cascade as min-priority selections:
 
@@ -406,6 +453,9 @@ def select_candidates(
     * tier-2 'and' wins at (lowest tier, longest prefix); the 'nsw'
       variant adds its own first-passing tier (b + c union,
       search_module.rb:167);
+    * tier-3 word-by-word (J4, opt-in) wins at the first
+      (word_pos, tier) with a passing candidate — it only ever
+      receives keywords that failed tiers 1-2;
     * per source, the first label property (label_idx) with any
       candidate wins (serimi_module.rb:151-170); its keywords become
       the searched labels.
@@ -445,6 +495,20 @@ def select_candidates(
             .select(*kw_key, "cand")
         )
         sels.extend([sel2a, sel2b])
+
+    if passing_t3 is not None:
+        best3 = passing_t3.groupBy(*kw_key).agg(
+            F.min(F.struct(F.col("word_pos"), F.col("tier"))).alias("b")
+        )
+        sel3 = (
+            passing_t3.join(best3, kw_key)
+            .filter(
+                (F.col("word_pos") == F.col("b.word_pos"))
+                & (F.col("tier") == F.col("b.tier"))
+            )
+            .select(*kw_key, "cand")
+        )
+        sels.append(sel3)
 
     all_sel = sels[0]
     for s_ in sels[1:]:

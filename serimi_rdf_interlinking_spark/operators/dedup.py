@@ -388,21 +388,58 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     threshold: float = 0.98,
+    n_planes: int = 4,
+    allow_cartesian: bool = False,
 ) -> DataFrame:
     """Cosine near-duplicates within blocking keys (brute force within
-    block; blocks bound the quadratic term). Returns (id_a, id_b, cos)."""
-    if block_col is None:
-        log.warning(
-            "embedding_near_dup: block_col=None degenerates to an "
-            "all-pairs cartesian — fine for small corpora; at scale "
-            "pass a blocking column or use similarity.ann_lsh_topk"
-        )
+    block; blocks bound the quadratic term). Returns (id_a, id_b, cos).
+
+    With ``block_col=None`` the blocks default to SRP (sign-random-
+    projection) buckets from the same deterministic md5-derived
+    hyperplanes as similarity.ann_lsh_topk, probed at Hamming
+    distance <= 1: side a explodes its bucket into the 1+n_planes
+    single-bit-flip probe keys, so a pair is compared iff their
+    buckets differ in at most one bit (each qualifying pair matches
+    exactly once — probe keys are distinct and the id_a < id_b filter
+    keeps one orientation). At threshold 0.98 (angle ~11.5 deg) the
+    per-plane split probability is ~angle/pi ~ 0.064, so Hamming<=1
+    recall is ~97% at n_planes=4 while each bucket join key carries
+    ~1/2**n_planes of the corpus — the quadratic term is bounded. The
+    all-pairs cartesian now requires an explicit
+    ``allow_cartesian=True`` (round-2 verdict #7)."""
     e = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+        *([F.col(block_col).alias("blk")] if block_col else []),
     )
-    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "blk")
+    if block_col is None:
+        if allow_cartesian:
+            log.warning(
+                "embedding_near_dup: allow_cartesian=True runs the "
+                "all-pairs cartesian — fine for small corpora only"
+            )
+            e = e.withColumn("blk", F.lit(0).cast("long"))
+            a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "blk")
+        else:
+            from .similarity import _hyperplanes, srp_bucket
+
+            first = e.select(F.size("v").alias("d")).first()
+            planes = _hyperplanes(int(first.d), n_planes)
+            e = e.withColumn("blk", srp_bucket(F.col("v"), planes))
+            probes = F.array(
+                F.col("blk"),
+                *[
+                    F.col("blk").bitwiseXOR(F.lit(1 << i))
+                    for i in range(n_planes)
+                ],
+            )
+            a = e.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.explode(probes).alias("blk"),
+            )
+    else:
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "blk")
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "blk")
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),

@@ -77,6 +77,92 @@ def _variant(rng: random.Random, name: str) -> tuple[str, str | None]:
     return name, None
 
 
+def build_promotion_divergence_fixture() -> Fixture:
+    """Predicate-heterogeneous fixture where per-hit cascade promotion
+    (search_module.rb:107-108) CHANGES RETRIEVAL — built to measure the
+    batch mode's frozen-cascade divergence (SURVEY §7, round-2 verdict
+    #4).
+
+    Construction:
+    * e0..e3 (warm-up ranks 0-3): labels "warmhub <uniq>" — the shared
+      token gives them the top blocking ranks; matches live under
+      tgt:name, anchoring `name` at the front of the learned cascade.
+    * e4 (warm-up rank 4): match lives ONLY under tgt:alias — hooks
+      `alias` into the learned search predicates, behind `name`.
+    * post-warm-up chunks (chunk=2) pair a DECOY entity with an
+      ALIAS-ONLY entity, ranked so the alias-only one is searched
+      LAST in its chunk (single-token labels, lexicographic rank):
+      - decoy entity: the CORRECT target carries the label under
+        tgt:alias, while a DECOY target carries the identical label
+        under tgt:name. Whichever of name/alias is searched first
+        wins (break-on-first-hit).
+      - alias-only entity: match only under tgt:alias — its hit
+        promotes alias; being last in the chunk, alias ends the
+        chunk at the cascade front.
+    With the frozen cascade (batch), every decoy entity resolves to
+    its decoy via the name tier. With per-hit promotion (sequential),
+    only the FIRST chunk's decoy entity goes wrong; from chunk 2 on,
+    alias is searched first and the correct targets win.
+    Correct targets share country/population with their source, so RDS
+    also has signal; decoys share nothing."""
+    fx = Fixture()
+    NAME, ALIAS = f"{TGT_ONT}name", f"{TGT_ONT}alias"
+
+    def add_source(i: int, label: str) -> str:
+        s = f"{SRC}city/{i}"
+        fx.source.append((s, RDF_TYPE, CLASS_CITY, True, False))
+        fx.source.append((s, RDFS_LABEL, label, False, False))
+        fx.source.append((s, f"{SRC_ONT}country", _COUNTRIES[i % 5], False, False))
+        fx.source.append((s, f"{SRC_ONT}population", str(10000 + i * 137), False, False))
+        return s
+
+    def add_target(i: int, label: str, pred: str) -> str:
+        t = f"{TGT}city/{i}"
+        fx.target.append((t, RDF_TYPE, f"{TGT}class/Settlement", True, False))
+        fx.target.append((t, pred, label, False, False))
+        fx.target.append((t, f"{TGT_ONT}country", _COUNTRIES[i % 5], False, False))
+        fx.target.append((t, f"{TGT_ONT}population", str(10000 + i * 137), False, False))
+        return t
+
+    uniq = ["bastion", "citadel", "dockyard", "esplanade"]
+    for i in range(4):
+        label = f"warmhub {uniq[i]}"
+        s = add_source(i, label)
+        t = add_target(i, label, NAME)
+        if i >= 2:
+            # alias must appear in >= 40% of warm-up candidate groups
+            # (A1's group-presence floor) to become a searchable
+            # predicate; distinct label-like values keep its entropy
+            # score near 0 so it survives the <= mean cut.
+            fx.target.append((t, ALIAS, label + " old", False, False))
+        fx.gold.append((s, t))
+    s = add_source(4, "warmhub harborgate")
+    fx.gold.append((s, add_target(4, "warmhub harborgate", ALIAS)))
+
+    # (decoy, alias-only) pairs; single-token labels rank after the
+    # freq-5 "warmhub" token, in lexicographic order — so each chunk of
+    # 2 is (decoy entity, alias-only entity) in that search order.
+    pairs = [
+        ("cdecoyone", "czaliasone"),
+        ("ddecoytwo", "dzaliastwo"),
+        ("edecoythree", "ezaliasthree"),
+        ("fdecoyfour", "fzaliasfour"),
+    ]
+    i = 5
+    for decoy_label, alias_label in pairs:
+        s = add_source(i, decoy_label)
+        fx.gold.append((s, add_target(i, decoy_label, ALIAS)))
+        d = f"{TGT}decoy/{i}"
+        fx.target.append((d, RDF_TYPE, f"{TGT}class/Hamlet", True, False))
+        fx.target.append((d, NAME, decoy_label, False, False))
+        fx.target.append((d, f"{TGT_ONT}motto", f"motto {i}", False, False))
+        i += 1
+        s = add_source(i, alias_label)
+        fx.gold.append((s, add_target(i, alias_label, ALIAS)))
+        i += 1
+    return fx
+
+
 def build_interlinking_fixture(n_entities: int = 60, seed: int = 7,
                                homonym_rate: float = 0.25) -> Fixture:
     """Two RDF datasets + gold alignment + web pages.

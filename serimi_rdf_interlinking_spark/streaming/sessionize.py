@@ -128,6 +128,167 @@ def make_sessionizer(
     return sessionize
 
 
+EVENT_STATE_SCHEMA = (
+    "session_id LONG, start_us LONG, last_us LONG, n_events LONG, "
+    "buf_us ARRAY<LONG>, buf_id ARRAY<LONG>"
+)
+
+
+def make_event_time_sessionizer(gap_seconds: float = 3600.0):
+    """Watermarked EVENT-TIME sessionizer: correct under out-of-order
+    and cross-micro-batch arrival, bounded by the watermark delay.
+
+    Mechanics: events newer than the current watermark are BUFFERED in
+    state (they may still be preceded by a straggler); events at or
+    below the watermark are final — no earlier-or-equal event can
+    arrive (Spark's late filter drops input with ts <= the current
+    watermark before the stateful operator) — so they fold into the
+    gap logic in event-time order.
+    An event-time timeout at last_us + gap closes a session once the
+    watermark proves no extender can come. Divergence bound vs the
+    batch query: ONLY events later than the watermark delay are
+    dropped; within the delay, emitted sessions are identical to the
+    batch lag+cumsum query (asserted by the cross-batch out-of-order
+    parity test). State is O(active users + buffered late window),
+    sharded by the groupBy(user_id) shuffle."""
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def sessionize(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = int(key[0])
+        if state.exists:
+            session_id, start_us, last_us, n_events, buf_us, buf_id = state.get
+            buf = list(zip(buf_us or (), buf_id or ()))
+        else:
+            session_id, start_us, last_us, n_events = 0, None, None, 0
+            buf = []
+
+        closed: list[tuple[int, int, int, int]] = []
+
+        def fold(t: int) -> None:
+            nonlocal session_id, start_us, last_us, n_events
+            if start_us is None:
+                session_id += 1
+                start_us, last_us, n_events = t, t, 1
+            elif t - last_us > gap_us:
+                closed.append((session_id, start_us, last_us, n_events))
+                session_id += 1
+                start_us, last_us, n_events = t, t, 1
+            else:
+                last_us = t
+                n_events += 1
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                us = (
+                    pd.to_datetime(pdf["ts"])
+                    .astype("datetime64[ns]")
+                    .astype("int64")
+                    // 1000
+                ).to_numpy()
+                ids = pdf["event_id"].to_numpy()
+                buf.extend((int(t), int(i)) for t, i in zip(us, ids))
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buf.sort()
+        safe = [t for t, _ in buf if t <= wm_us]
+        buf = [(t, i) for t, i in buf if t > wm_us]
+        for t in safe:
+            fold(t)
+        # close the open session once the watermark proves no extender
+        # can arrive: every future event (including anything still
+        # buffered) is > wm > last + gap, so it would START a new
+        # session, never extend this one
+        if last_us is not None and wm_us > last_us + gap_us:
+            closed.append((session_id, start_us, last_us, n_events))
+            start_us, last_us, n_events = None, None, 0
+
+        if last_us is None and not buf:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (
+                    session_id,
+                    start_us,
+                    last_us,
+                    n_events,
+                    [t for t, _ in buf],
+                    [i for _, i in buf],
+                )
+            )
+            # wake up when the open session becomes closeable, or when
+            # buffered events become safe to fold
+            nxt = None
+            if last_us is not None:
+                nxt = last_us + gap_us
+            if buf:
+                first_buf = buf[0][0]
+                nxt = first_buf if nxt is None else min(nxt, first_buf)
+            if nxt is not None:
+                # timeout timestamps must be > current watermark
+                state.setTimeoutTimestamp(max(nxt // 1000 + 1, wm_us // 1000 + 1))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_id": [c[0] for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "start_us": [c[1] for c in closed],
+                    "end_us": [c[2] for c in closed],
+                }
+            )
+
+    return sessionize
+
+
+def stream_sessionize_event_time(
+    spark,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: float = 3600.0,
+    watermark_delay: str = "10 minutes",
+    schema=None,
+    max_files_per_trigger: int = 1,
+):
+    """Event-time variant: readStream → withWatermark(ts) →
+    groupBy(user_id) applyInPandasWithState(EventTimeTimeout) → append
+    sink. Late events beyond `watermark_delay` are dropped (the
+    documented divergence bound); everything else matches the batch
+    sessionize query. Returns the StreamingQuery."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if schema is None:
+        schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+        .withWatermark("ts", watermark_delay)
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        make_event_time_sessionizer(gap_seconds),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=EVENT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_sessionize(
     spark,
     events_dir: str,

@@ -94,6 +94,24 @@ def test_embedding_near_dup_self(embs):
     assert any(r.id_b == 999999 and r.cos == pytest.approx(1.0) for r in rows)
 
 
+def test_embedding_near_dup_srp_default(embs):
+    """block_col=None defaults to SRP buckets (not cartesian): an exact
+    duplicate lands in the same bucket, so it is always found; every
+    reported pair is a true pair of the brute-force result."""
+    first = embs.limit(1).select(
+        F.lit(999999).alias("vec_id"), "embedding", "label"
+    )
+    df = embs.unionByName(first)
+    srp = D.embedding_near_dup(df, block_col=None, threshold=0.9999)
+    rows = srp.collect()
+    assert any(r.id_b == 999999 and r.cos == pytest.approx(1.0) for r in rows)
+    brute = D.embedding_near_dup(
+        df, block_col=None, threshold=0.9999, allow_cartesian=True
+    )
+    brute_pairs = {(r.id_a, r.id_b) for r in brute.collect()}
+    assert {(r.id_a, r.id_b) for r in rows} <= brute_pairs
+
+
 def test_cosine_topk_and_ann_recall(embs):
     queries = embs.filter(F.col("vec_id") < 8)
     exact = S.cosine_topk(embs, queries, k=5)

@@ -10,12 +10,12 @@ def test_registry_shape():
     assert len(qs) >= 30
     # every oracle belongs to a registered query
     assert set(oracles).issubset(set(qs))
-    # the deliberately rows-only entries (non-SQL-expressible kernels)
+    # the deliberately rows-only entries (non-SQL-expressible kernels;
+    # ann_lsh_topk graduated to a full SQL oracle in round 3)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "serimi_alignment",
         "advanced_string_matching",
-        "ann_lsh_topk",
     }
 
 

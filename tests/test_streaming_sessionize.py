@@ -87,6 +87,80 @@ def test_stream_sessionize_matches_batch_rule(spark, ordered_events, tmp_path):
     assert got == expected
 
 
+def test_event_time_sessionize_out_of_order_cross_batch(spark, tmp_path):
+    """Watermarked event-time variant (round-2 verdict #8): an event
+    arriving in a LATER micro-batch with an EARLIER event time (within
+    the watermark delay) must fold in event-time order — emitted
+    sessions equal the batch lag+cumsum rule on the union of both
+    files, minus each user's final (still-open) session."""
+    import time
+
+    import pandas as pd
+
+    from serimi_rdf_interlinking_spark.streaming.sessionize import (
+        stream_sessionize_event_time,
+    )
+
+    ev_dir = str(tmp_path / "events")
+    sec = lambda s: pd.Timestamp(s * 1_000_000_000)
+
+    # batch 1: user 1 at 10s, 100s, then 10_000s (a later session);
+    # user 2 at 50s. max ts -> watermark after batch 1 = 10_000s - delay.
+    # (t=0 would be dropped: Spark's late filter discards ts <= the
+    # current watermark, and the initial watermark is epoch 0.)
+    f1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [1, 1, 1, 2],
+            "ts": [sec(10), sec(100), sec(10_000), sec(50)],
+            "event_type": ["a"] * 4,
+            "value": [1.0] * 4,
+        }
+    )
+    # batch 2: user 1's out-of-order straggler at 9_200s (< 10_000s seen
+    # in batch 1, but above the 8_200s watermark -> must be kept and
+    # folded BEFORE the 10_000s event), plus far-future flush events
+    # that push the watermark past every real session.
+    f2 = pd.DataFrame(
+        {
+            "event_id": [5, 6, 7],
+            "user_id": [1, 1, 2],
+            "ts": [sec(9_200), sec(100_000), sec(100_000)],
+            "event_type": ["a"] * 3,
+            "value": [1.0] * 3,
+        }
+    )
+    spark.createDataFrame(f1).coalesce(1).write.mode("append").parquet(ev_dir)
+    time.sleep(1.1)  # distinct mtimes => deterministic file order
+    spark.createDataFrame(f2).coalesce(1).write.mode("append").parquet(ev_dir)
+
+    out = str(tmp_path / "sessions")
+    q = stream_sessionize_event_time(
+        spark, ev_dir, out, str(tmp_path / "ckpt"),
+        gap_seconds=3600.0, watermark_delay="30 minutes",
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(300), "stream did not terminate in 300s"
+
+    got = sorted(
+        (
+            int(r.user_id), int(r.session_id), int(r.n_events),
+            int(r.start_us), int(r.end_us),
+        )
+        for r in spark.read.parquet(out).collect()
+    )
+    s = 1_000_000  # seconds -> microseconds
+    assert got == [
+        (1, 1, 2, 10 * s, 100 * s),         # {10,100}
+        (1, 2, 2, 9_200 * s, 10_000 * s),   # straggler folded in order
+        (2, 1, 1, 50 * s, 50 * s),
+    ]
+    # cross-check against the shared batch-rule helper on the union
+    ev = spark.read.parquet(ev_dir).toPandas()
+    ev["us"] = pd.to_datetime(ev["ts"]).astype("int64") // 1000
+    assert got == _expected_closed(ev, gap_us=3600 * 1_000_000)
+
+
 class _FakeState:
     def __init__(self, value=None, timed_out=False):
         self._v = value
