@@ -40,7 +40,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "simhash",
+    "embedding_near_dup_srp",
     "cosine_topk",
+    "ann_lsh_topk",
     "language_id",
     "quality_score",
     "token_counts",

@@ -82,9 +82,20 @@ class SerimiMatcher:
         RDD directly. Without this, repeated matcher runs in one session
         accumulate executor storage (round-2 verdict hygiene item)."""
         keep_ids = {id(df) for df in keep}
-        for df in self._cached:
-            if id(df) in keep_ids:
-                continue
+        to_release = [df for df in self._cached if id(df) not in keep_ids]
+        if to_release:
+            # silence the expected per-RDD "locally checkpointed ...
+            # cannot be recomputed after unpersisting" WARN — releasing
+            # is deliberate and the frames are never touched again
+            try:
+                jvm = to_release[0].sparkSession._jvm
+                jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                    "org.apache.spark.rdd.MapPartitionsRDD",
+                    jvm.org.apache.logging.log4j.Level.ERROR,
+                )
+            except Exception:  # pragma: no cover - log tuning only
+                pass
+        for df in to_release:
             try:
                 df._jdf.queryExecution().analyzed().rdd().unpersist(False)
             except Exception:  # pragma: no cover - best-effort cleanup

@@ -50,6 +50,12 @@ def write_table(
 
 
 def read_table(spark: SparkSession, identifier: str) -> DataFrame:
+    if identifier.startswith(("http://", "https://")):
+        # live SPARQL endpoint (the reference's only source mode) —
+        # dimension-scale pulls only; see sources/sparql_endpoint.py
+        from .sparql_endpoint import read_sparql_endpoint
+
+        return read_sparql_endpoint(spark, identifier)
     if iceberg_available(spark) and "/" not in identifier:
         return spark.read.table(identifier)
     return spark.read.parquet(identifier)
