@@ -762,6 +762,13 @@ _TOKS_SQL = (
 )
 
 
+# once-per-vector normalization, the SQL twin of similarity.unit_vec
+_UNIT_SQL = (
+    "list_transform(embedding::DOUBLE[], x -> x / "
+    "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))"
+)
+
+
 def _srp_sql_parts(dim: int, n_planes: int):
     """Shared SRP-in-SQL pieces: a bucket() expression builder over the
     deterministic md5-derived hyperplanes (embedded as DOUBLE[]
@@ -797,11 +804,11 @@ def _ann_lsh_sql(
     bucket, probe_masks = _srp_sql_parts(dim, n_planes)
     return f"""
 WITH corpus AS (
-  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v,
+  SELECT vec_id AS neighbor_id, {_UNIT_SQL} AS v,
          {bucket("embedding::DOUBLE[]")} AS bucket
   FROM embeddings
 ), q0 AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+  SELECT vec_id AS query_id, {_UNIT_SQL} AS qv,
          {bucket("embedding::DOUBLE[]")} AS bucket0
   FROM embeddings WHERE vec_id < {max_query_id}
 ), q AS (
@@ -809,9 +816,7 @@ WITH corpus AS (
   FROM q0, (VALUES {probe_masks}) t(m)
 ), scored AS (
   SELECT q.query_id, c.neighbor_id,
-         round(list_dot_product(q.qv, c.v)
-           / (sqrt(list_dot_product(q.qv, q.qv))
-              * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+         round(list_dot_product(q.qv, c.v), 6) AS cos
   FROM q JOIN corpus c ON q.bucket = c.bucket
   WHERE q.query_id <> c.neighbor_id
 ), ranked AS (
@@ -834,14 +839,9 @@ def _embedding_near_dup_srp_sql(
     match, and id_a < id_b keeps one orientation) — mirrors the Spark
     plan key-for-key."""
     bucket, probe_masks = _srp_sql_parts(dim, n_planes)
-    cos = (
-        "round(list_dot_product(va, vb)"
-        " / (sqrt(list_dot_product(va, va))"
-        " * sqrt(list_dot_product(vb, vb))), 6)"
-    )
     return f"""
 WITH e AS (
-  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+  SELECT vec_id AS id, {_UNIT_SQL} AS v,
          {bucket("embedding::DOUBLE[]")} AS blk
   FROM embeddings
 ), a AS (
@@ -850,9 +850,9 @@ WITH e AS (
 ), b AS (
   SELECT id AS id_b, v AS vb, blk FROM e
 )
-SELECT id_a, id_b, {cos} AS cos
+SELECT id_a, id_b, round(list_dot_product(va, vb), 6) AS cos
 FROM a JOIN b USING (blk)
-WHERE id_a < id_b AND {cos} >= {threshold}
+WHERE id_a < id_b AND round(list_dot_product(va, vb), 6) >= {threshold}
 ORDER BY id_a, id_b
 """
 
@@ -1301,31 +1301,28 @@ ORDER BY f.doc_id
 """
     sql["simhash"] = _simhash_sql(16)
 
-    sql["embedding_near_dup"] = """
+    # cosine oracles pre-normalize once per vector (list_transform
+    # divide-by-norm), mirroring similarity.unit_vec so the rounded
+    # cosines stay bit-identical with the Spark plans
+    sql["embedding_near_dup"] = f"""
+WITH e AS (
+  SELECT vec_id, label, {_UNIT_SQL} AS v FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
-         AS cos
-FROM embeddings a JOIN embeddings b
+       round(list_dot_product(a.v, b.v), 6) AS cos
+FROM e a JOIN e b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
-      >= 0.3
+WHERE round(list_dot_product(a.v, b.v), 6) >= 0.3
 ORDER BY id_a, id_b
 """
 
-    sql["cosine_topk"] = """
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-           FROM embeddings WHERE vec_id < 8),
+    sql["cosine_topk"] = f"""
+WITH u AS (SELECT vec_id, {_UNIT_SQL} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 8),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         round(list_dot_product(q.qv, e.embedding::DOUBLE[])
-           / (sqrt(list_dot_product(q.qv, q.qv))
-              * sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                      e.embedding::DOUBLE[]))), 6) AS cos
-  FROM q, embeddings e WHERE q.query_id <> e.vec_id
+         round(list_dot_product(q.qv, e.v), 6) AS cos
+  FROM q, u e WHERE q.query_id <> e.vec_id
 ), ranked AS (
   SELECT query_id, neighbor_id, cos,
          row_number() OVER (PARTITION BY query_id

@@ -407,11 +407,20 @@ def embedding_near_dup(
     ~1/2**n_planes of the corpus — the quadratic term is bounded. The
     all-pairs cartesian now requires an explicit
     ``allow_cartesian=True`` (round-2 verdict #7)."""
-    e = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        *([F.col(block_col).alias("blk")] if block_col else []),
+    from .similarity import unit_vec
+
+    # normalize once per vector (not per pair) — see similarity.unit_vec
+    e = unit_vec(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v0"),
+            *([F.col(block_col).alias("blk")] if block_col else []),
+        ),
+        "v0",
+        "v",
     )
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row.d) if dim_row is not None else 0
     if block_col is None:
         if allow_cartesian:
             log.warning(
@@ -423,9 +432,11 @@ def embedding_near_dup(
         else:
             from .similarity import _hyperplanes, srp_bucket
 
-            first = e.select(F.size("v").alias("d")).first()
-            planes = _hyperplanes(int(first.d), n_planes)
-            e = e.withColumn("blk", srp_bucket(F.col("v"), planes))
+            planes = _hyperplanes(dim, n_planes)
+            # bucket signs from the RAW vector (the oracle computes
+            # them on the raw embedding; normalization cannot flip a
+            # sign mathematically, but boundary floats could)
+            e = e.withColumn("blk", srp_bucket(F.col("v0"), planes))
             probes = F.array(
                 F.col("blk"),
                 *[
@@ -440,19 +451,26 @@ def embedding_near_dup(
             )
     else:
         a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "blk")
+    # the b side broadcasts (small per-block dimension frame), so the
+    # pair fan-out materializes in the A side's tasks — which inherit
+    # the SCAN partitioning. A small single-file input would serialize
+    # millions of pairs behind one task (measured: the whole join in
+    # 1 task with 31 cores idle); spread the a side to cluster
+    # parallelism first. At real scale the scan already has that many
+    # partitions and this shuffle is row-count-trivial either way.
+    par = max(embeddings.sparkSession.sparkContext.defaultParallelism, 1)
+    a = a.repartition(par)
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "blk")
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    # vectors are pre-normalized, so the per-pair work is ONE dot
+    # product — unrolled into a codegen'd chain (fixed dim), not an
+    # interpreted higher-order fold
+    from .similarity import dot_unrolled
+
+    dot = dot_unrolled(F.col("va"), F.col("vb"), dim)
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6))
+        .withColumn("cos", F.round(dot, 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
         .orderBy("id_a", "id_b")
