@@ -630,6 +630,47 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(embs, queries, k=5, n_planes=3, multiprobe=1)
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode as a first-class query: a deterministic
+    synthetic media table (seeded PPM images + PCM16 WAV audio, built
+    in-driver — no external data per the graft rules) through the
+    mapInPandas decode/feature stage with the REAL numpy decoders.
+    Rows-only: binary codec decode is not ANSI-SQL-expressible, so the
+    driver records the weaker rows-only check; full-value determinism
+    is pinned by tests/test_rows_only_pins.py."""
+    from serimi_rdf_interlinking_spark.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_featurize,
+        synth_ppm,
+        synth_wav,
+    )
+
+    rows = []
+    for i in range(64):
+        if i % 2 == 0:
+            w, h = 4 + i % 5, 3 + i % 4
+            rows.append(
+                (f"img{i:02d}", "image", synth_ppm(w, h, seed=1000 + i),
+                 "image/x-portable-pixmap", w, h, None)
+            )
+        else:
+            n = 200 + i * 7
+            rows.append(
+                (f"aud{i:02d}", "audio", synth_wav(n, seed=1000 + i),
+                 "audio/wav", None, None, n * 1000 // 8000)
+            )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = decode_and_featurize(media)
+    return (
+        out.select(
+            "media_id", "kind", "n_bytes", "sha256",
+            F.posexplode("feature").alias("feat_idx", "feat"),
+        )
+        .withColumn("feat", F.round("feat", 6))
+        .orderBy("media_id", "feat_idx")
+    )
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serimi_rdf_interlinking_spark.operators.textstats import language_id
 
@@ -743,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "language_id": q_language_id,
+        "media_features": q_media_features,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,

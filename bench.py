@@ -48,6 +48,7 @@ HEADLINE = [
     "token_counts",
     "fingerprint",
     "pack_documents",
+    "media_features",
     # flagship end-to-end matcher (fixture-based, fixed size)
     "serimi_alignment",
 ]

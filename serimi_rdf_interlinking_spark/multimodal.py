@@ -51,6 +51,33 @@ def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in h[:dim]]
 
 
+def synth_ppm(w: int, h: int, seed: int = 0) -> bytes:
+    """Deterministic synthetic P6 PPM payload (seeded numpy bytes)."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def synth_wav(n: int, rate: int = 8000, channels: int = 1, seed: int = 0) -> bytes:
+    """Deterministic synthetic RIFF/WAVE PCM16 payload."""
+    rng = np.random.RandomState(seed)
+    data = rng.randint(-20000, 20000, size=(n, channels)).astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * 2).to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def decode_ppm(payload: bytes) -> np.ndarray:
     """Binary PPM (P6, maxval<=255) -> uint8 array (h, w, 3). Pure
     numpy; the header grammar is whitespace-separated tokens with

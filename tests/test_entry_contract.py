@@ -11,11 +11,13 @@ def test_registry_shape():
     # every oracle belongs to a registered query
     assert set(oracles).issubset(set(qs))
     # the deliberately rows-only entries (non-SQL-expressible kernels;
-    # ann_lsh_topk graduated to a full SQL oracle in round 3)
+    # ann_lsh_topk graduated to a full SQL oracle in round 3,
+    # media_features is binary codec decode)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "serimi_alignment",
         "advanced_string_matching",
+        "media_features",
     }
 
 

@@ -81,6 +81,20 @@ def test_topk_is_partial_aggregate_not_window(spark):
         assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
 
 
+def test_q5_supplier_join_broadcasts_and_pushes_down(spark):
+    """local_supplier_volume (TPC-H Q5 shape): the date-range and
+    region filters must reach the parquet scans, and at test scale
+    every join side under the broadcast threshold must broadcast (no
+    sort-merge join in the plan)."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_local_supplier_volume(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(r_name,EUROPE)" in plan
+
+
 def test_semi_join_is_semi_in_plan(spark):
     cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(

@@ -14,8 +14,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 PINS = {
     "serimi_alignment": "f6ad9c018c6653172e64d10e07c1e283",
+    # ann_lsh_topk gained a full SQL oracle in round 3; the pin stays
+    # as an extra regression tooth on the SRP bucketing
     "ann_lsh_topk": "8b97e60b5620ac38a2b7f1f3c9a4cd4c",
     "advanced_string_matching": "c52baee8e25943d17dcd9c773f24b18f",
+    # real numpy PPM/WAV decode over the synthetic media table (r3)
+    "media_features": "b4119c5833a92ff7d7ba992247526bbd",
 }
 
 
