@@ -247,6 +247,65 @@ class SerimiMatcher:
             new_order = [won] + [p for p in new_order if p != won]
         return new_order
 
+    # -- batch-mode singleton-chunk merge (O5 analogue) --------------------
+    def _merge_singleton_chunks(self, cr):
+        """The reference's double-and-retry (O5, initializer.rb:106-122)
+        absorbs a chunk whose retrieval found candidates for only ONE
+        source into the following span — RDS needs >= 2 groups (a
+        pseudo-class) to disambiguate, so a singleton chunk would
+        otherwise emit nothing. The sequential loop implements the
+        stateful doubling; the batch path gets the same recall by
+        REASSIGNING chunk ids: walk chunks in order, accumulating until
+        a span holds >= 2 retrieved sources (forward merge, like the
+        doubled limit). A trailing span still short of 2 merges
+        backward into the last emitted span — an intended-semantics
+        improvement over the reference's tail-drop (SURVEY §7). The
+        per-chunk stats frame is one row per chunk (tiny collect)."""
+        counts = sorted(
+            (r.chunk_id, r.n)
+            for r in cr.pairs.groupBy("chunk_id")
+            .agg(F.countDistinct("s").alias("n"))
+            .collect()
+        )
+        new_ids: dict[int, int] = {}
+        span: list[int] = []
+        span_n = 0
+        last_tgt = None
+        for cid, n in counts:
+            span.append(cid)
+            span_n += n
+            if span_n >= 2:
+                tgt = span[0]
+                for c in span:
+                    new_ids[c] = tgt
+                last_tgt = tgt
+                span, span_n = [], 0
+        if span and last_tgt is not None:
+            for c in span:
+                new_ids[c] = last_tgt
+        remap = {k: v for k, v in new_ids.items() if k != v}
+        if not remap:
+            return cr
+        log.info(
+            "batch mode: merging %d singleton chunk(s) into scorable "
+            "spans (O5 analogue)",
+            len(remap),
+        )
+        m = F.create_map(
+            *[x for k, v in remap.items() for x in (F.lit(k), F.lit(v))]
+        )
+        for attr in ("pairs", "searched"):
+            df = getattr(cr, attr)
+            setattr(
+                cr,
+                attr,
+                df.withColumn(
+                    "chunk_id",
+                    F.coalesce(m[F.col("chunk_id")], F.col("chunk_id")),
+                ),
+            )
+        return cr
+
     # -- chunk-kernel input assembly --------------------------------------
     def _chunk_input(
         self, cand_result, source: DataFrame, target: DataFrame
@@ -706,6 +765,7 @@ class SerimiMatcher:
             crN = self._retrieve(
                 kwN, index, target, tiers, textp, stopwords, "main"
             )
+            crN = self._merge_singleton_chunks(crN)
             tick("main retrieve")
             chunk_input = self._mat(
                 self._chunk_input(crN, source, target), "chunk_input"

@@ -13,6 +13,30 @@ Hand-computed reference behavior on the fixture below:
 """
 
 import pytest
+
+
+def test_batch_merges_singleton_chunks(spark):
+    """O5 analogue in the batch path: with chunk=1 every post-warm-up
+    chunk retrieves ONE source, which RDS alone cannot score (it needs
+    a >= 2-group pseudo-class). The singleton-chunk merge must recover
+    full recall, matching the sequential loop's double-and-retry."""
+    from serimi_rdf_interlinking_spark.config import SerimiConfig
+    from serimi_rdf_interlinking_spark.matcher import SerimiMatcher
+    from serimi_rdf_interlinking_spark.sources.fixtures import (
+        CLASS_CITY,
+        build_interlinking_fixture,
+    )
+    from serimi_rdf_interlinking_spark.sources.triples import TRIPLE_SCHEMA
+
+    fx = build_interlinking_fixture(n_entities=12, seed=3)
+    src = spark.createDataFrame(fx.source, TRIPLE_SCHEMA)
+    tgt = spark.createDataFrame(fx.target, TRIPLE_SCHEMA)
+    gold = set(fx.gold)
+    res = SerimiMatcher(
+        SerimiConfig(chunk=1, topk=1, mode="batch", shuffle_partitions=4)
+    ).run(spark, src, tgt, CLASS_CITY)
+    got = {(r.source, r.target) for r in res.alignments.collect()}
+    assert got == gold  # full recall despite all-singleton chunking
 from pyspark.sql import functions as F
 
 from serimi_rdf_interlinking_spark.config import SerimiConfig
