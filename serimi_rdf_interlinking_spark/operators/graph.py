@@ -18,14 +18,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find_local(pairs: list[tuple]) -> dict:
+    """Driver-side union-find with min-label roots — exact same
+    result as the distributed loop, one pass, no per-round jobs."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min label becomes the root, so component = min node id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Returns (node, component) with component = min node id (string
     order) of the node's component. Edges are treated as undirected.
+
+    Adaptive strategy: the edge set here is VERIFIED near-dup / sameAs
+    pairs — orders of magnitude smaller than the corpus — so when it
+    fits comfortably on the driver (<= driver_threshold edges) a local
+    union-find computes the identical labeling in one collect instead
+    of paying multiple two-shuffle+checkpoint rounds (measured ~4.6s of
+    pure round overhead for a 477-node graph). Above the threshold the
+    distributed pointer-jumping loop runs — that is the 100-TB path,
+    where the per-round cost amortizes over real data.
 
     Raises RuntimeError if max_iter rounds do not converge — a silent
     partial result would be WRONG labels (with pointer jumping, 25
@@ -35,6 +69,21 @@ def connected_components(
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
+    e = e.localCheckpoint(eager=True)
+    n_edges = e.count()
+    if n_edges <= driver_threshold:
+        mapping = _union_find_local(
+            [(r.a, r.b) for r in e.collect()]
+        )
+        spark = edges.sparkSession
+        if not mapping:
+            return spark.createDataFrame([], "node string, component string")
+        sample = next(iter(mapping))
+        t = "string" if isinstance(sample, str) else "long"
+        return spark.createDataFrame(
+            list(mapping.items()), f"node {t}, component {t}"
+        )
+
     und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     und = und.localCheckpoint(eager=True)
 

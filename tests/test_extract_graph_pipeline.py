@@ -233,8 +233,10 @@ def test_recall_diagnosis(spark):
 
 
 def test_connected_components_deep_chain_pointer_jumping(spark):
-    """A 300-node path graph: plain min-label propagation needs 299
-    rounds; pointer jumping must converge within the default 25."""
+    """A 300-node path graph THROUGH THE DISTRIBUTED LOOP
+    (driver_threshold=0 disables the small-graph union-find shortcut):
+    plain min-label propagation needs 299 rounds; pointer jumping must
+    converge within the default 25."""
     from serimi_rdf_interlinking_spark.operators.graph import (
         connected_components,
     )
@@ -244,6 +246,34 @@ def test_connected_components_deep_chain_pointer_jumping(spark):
         + [("z0", "z1"), ("z1", "z2")],  # a second, separate component
         ["src", "dst"],
     )
-    cc = {r.node: r.component for r in connected_components(edges).collect()}
+    cc = {
+        r.node: r.component
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
     assert all(cc[f"n{i:04d}"] == "n0000" for i in range(300))
     assert cc["z0"] == cc["z1"] == cc["z2"] == "z0"
+
+
+def test_connected_components_driver_path_equals_distributed(spark):
+    """The small-graph union-find shortcut must produce the exact
+    labeling of the distributed pointer-jumping loop."""
+    import random
+
+    from serimi_rdf_interlinking_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(11)
+    edges = spark.createDataFrame(
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(150)],
+        ["src", "dst"],
+    )
+    local = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert local == dist and len(local) > 0
