@@ -200,10 +200,16 @@ class KGPipeline:
                 .withColumn("s", F.coalesce("s_canon", "s"))
                 .drop("s_canon")
                 .distinct()
-                # salted, skew-aware layout: hot subjects spread over a
-                # hash bucket column so no single output partition
-                # carries a hot entity's whole fan-in (north_star)
-                .withColumn("bucket", F.pmod(F.xxhash64("s"), F.lit(16)))
+                # salted, skew-aware layout (north_star): the salt
+                # hashes the WHOLE triple, not just the subject — a
+                # subject-only hash would put a hot entity's entire
+                # fan-in into one bucket, which is the skew salting
+                # exists to break. Full-row salting spreads each hot
+                # subject uniformly over all buckets; readers filter on
+                # s across buckets (the standard salted-layout trade).
+                .withColumn(
+                    "bucket", F.pmod(F.xxhash64("s", "p", "o"), F.lit(16))
+                )
                 .repartition("bucket")
             )
             triples_out.write.mode("overwrite").partitionBy("bucket").parquet(

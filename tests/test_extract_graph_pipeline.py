@@ -118,6 +118,20 @@ def test_pipeline_end_to_end_and_resume(spark, fixture_small, triple_dfs, tmp_pa
         (F.col("stage") == "extract") & F.col("partition_id").isNotNull()
     ).count() > 0
 
+    # salted materialize layout: the salt hashes the WHOLE triple, so
+    # any subject with several triples spreads over multiple buckets
+    # (a subject-only hash would pin a hot entity's fan-in to one
+    # bucket — the skew salting exists to break)
+    spread = (
+        res1.triples_out.groupBy("s")
+        .agg(
+            F.countDistinct("bucket").alias("nb"),
+            F.count("*").alias("nt"),
+        )
+        .filter(F.col("nt") >= 3)
+    )
+    assert spread.filter(F.col("nb") >= 2).count() > 0
+
     # resume: a rerun skips everything and returns identical outputs
     p2 = KGPipeline(cfg, ckpt, run_id="r1")
     res2 = p2.run(spark, pages, tgt)
