@@ -617,6 +617,21 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(embs, queries, k=5)
 
 
+def q_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas-UDF (numpy GEMM) exact top-k — the BLAS scale
+    path. Rows-only: BLAS float summation order differs from the
+    sequential SQL fold in the last ulps, so the 6-dp value hash is not
+    comparable; neighbor-set parity vs cosine_topk is asserted in
+    pytest and the full result is pinned by row-hash."""
+    from serimi_rdf_interlinking_spark.operators.similarity import (
+        cosine_topk_gemm,
+    )
+
+    embs = _read(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 8)
+    return cosine_topk_gemm(embs, queries, k=5)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path. The SRP hyperplanes are deterministic md5 bytes,
     so the bucketing IS oracle-expressible: the DuckDB oracle embeds the
@@ -783,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_srp": q_embedding_near_dup_srp,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "cosine_topk_gemm": q_cosine_topk_gemm,
         "language_id": q_language_id,
         "media_features": q_media_features,
         "quality_score": q_quality_score,

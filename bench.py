@@ -42,6 +42,7 @@ HEADLINE = [
     "simhash",
     "embedding_near_dup_srp",
     "cosine_topk",
+    "cosine_topk_gemm",
     "ann_lsh_topk",
     "language_id",
     "quality_score",

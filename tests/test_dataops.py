@@ -127,6 +127,21 @@ def test_cosine_topk_and_ann_recall(embs):
     assert all(r.cos <= 1.0 for r in ann.collect())
 
 
+def test_cosine_topk_gemm_parity(embs):
+    """The BLAS path must return the same neighbor SETS as the
+    expression-chain exact path (scores may differ in final ulps due to
+    BLAS summation order, so values are compared with tolerance)."""
+    queries = embs.filter(F.col("vec_id") < 8)
+    exact = S.cosine_topk(embs, queries, k=5).collect()
+    gemm = S.cosine_topk_gemm(embs, queries, k=5).collect()
+    ex = {(r.query_id, r.neighbor_id) for r in exact}
+    gm = {(r.query_id, r.neighbor_id) for r in gemm}
+    assert ex == gm
+    ex_cos = {(r.query_id, r.neighbor_id): r.cos for r in exact}
+    for r in gemm:
+        assert r.cos == pytest.approx(ex_cos[(r.query_id, r.neighbor_id)], abs=2e-6)
+
+
 def test_language_id(spark):
     df = spark.createDataFrame(
         [

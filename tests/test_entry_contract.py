@@ -18,6 +18,7 @@ def test_registry_shape():
         "serimi_alignment",
         "advanced_string_matching",
         "media_features",
+        "cosine_topk_gemm",
     }
 
 

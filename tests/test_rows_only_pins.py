@@ -20,6 +20,9 @@ PINS = {
     "advanced_string_matching": "c52baee8e25943d17dcd9c773f24b18f",
     # real numpy PPM/WAV decode over the synthetic media table (r3)
     "media_features": "b4119c5833a92ff7d7ba992247526bbd",
+    # BLAS GEMM top-k (r3); rows-only because BLAS float summation
+    # order differs from the SQL fold in the last ulps
+    "cosine_topk_gemm": "0e67c559a009fb6f41c1d5f5dfae4bed",
 }
 
 
