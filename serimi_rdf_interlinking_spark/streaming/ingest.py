@@ -46,6 +46,62 @@ def stream_extract(
     return writer.start()
 
 
+def stream_dedup_exact(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    schema=None,
+):
+    """Streaming exact dedup — the ingestion-time twin of the batch
+    dedup_exact operator: keep the FIRST arrival of each normalized
+    text, drop later duplicates that arrive within the watermark
+    horizon of each other.
+
+    Built on the engine-native dropDuplicatesWithinWatermark: state is
+    one (key, first-seen-ts) row per distinct text inside the horizon,
+    and the watermark EVICTS keys once no duplicate can still arrive —
+    bounded state for an unbounded crawl, which a plain
+    dropDuplicates() (state grows forever) cannot give. The dedup key
+    is the same normalization as dedup_exact (lower, strip
+    non-alphanumerics), md5'd so state carries a fixed-width key
+    instead of the document text. Returns the StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    if schema is None:
+        schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(docs_dir)
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withColumn(
+            "dedup_key",
+            F.md5(
+                F.lower(
+                    F.trim(
+                        F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]+", " ")
+                    )
+                )
+            ),
+        )
+    )
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["dedup_key"]
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_time_buckets(
     spark: SparkSession,
     events_dir: str,

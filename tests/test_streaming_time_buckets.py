@@ -55,3 +55,49 @@ def test_stream_time_buckets_finalized_windows(spark, tmp_path):
     }
     missing = expected_done - set(got)
     assert not missing, sorted(missing)[:5]
+
+
+def test_stream_dedup_exact_drops_cross_batch_duplicates(spark, tmp_path):
+    """Streaming exact dedup: duplicates arriving in a LATER micro-batch
+    (within the watermark horizon) are dropped; the first arrival and
+    all distinct texts survive."""
+    import time
+
+    from serimi_rdf_interlinking_spark.streaming.ingest import (
+        stream_dedup_exact,
+    )
+
+    src = str(tmp_path / "docs_dir")
+    ts = pd.Timestamp(1_600_000_000, unit="s")
+    f1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "ts": [ts, ts, ts],
+            "text": ["alpha beta", "gamma delta", "ALPHA   beta!"],  # 3 ~ 1
+        }
+    )
+    f2 = pd.DataFrame(
+        {
+            "doc_id": [4, 5],
+            "ts": [ts + pd.Timedelta(minutes=5)] * 2,
+            "text": ["alpha beta", "epsilon zeta"],  # 4 duplicates 1
+        }
+    )
+    spark.createDataFrame(f1).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(f2).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_dedup_exact(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ck"),
+        watermark="1 hour",
+    )
+    assert q.awaitTermination(300), "stream did not terminate in 300s"
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    keys = {r.dedup_key for r in rows}
+    ids = sorted(r.doc_id for r in rows)
+    # one survivor per distinct normalized text: {alpha beta},
+    # {gamma delta}, {epsilon zeta}
+    assert len(rows) == len(keys) == 3
+    # doc 3 (same normalized text as 1) and doc 4 (cross-batch dup) drop
+    assert 2 in ids and 5 in ids
+    assert ids.count(3) == 0 and ids.count(4) + ids.count(1) == 1
