@@ -617,6 +617,19 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(embs, queries, k=5)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — the data-adaptive coarse quantizer next to SRP-LSH;
+    every training step (seed pick, bit-identical argmax assignment,
+    rounded Lloyd step) reproduces in the DuckDB oracle."""
+    from serimi_rdf_interlinking_spark.operators.similarity import (
+        ann_ivf_topk,
+    )
+
+    embs = _read(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 8)
+    return ann_ivf_topk(embs, queries, k=5, n_centroids=8, n_probe=2)
+
+
 def q_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized pandas-UDF (numpy GEMM) exact top-k — the BLAS scale
     path. Rows-only: BLAS float summation order differs from the
@@ -799,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "cosine_topk_gemm": q_cosine_topk_gemm,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "language_id": q_language_id,
         "media_features": q_media_features,
         "quality_score": q_quality_score,
@@ -877,6 +891,68 @@ WITH corpus AS (
          round(list_dot_product(q.qv, c.v), 6) AS cos
   FROM q JOIN corpus c ON q.bucket = c.bucket
   WHERE q.query_id <> c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rk FROM ranked
+WHERE rk <= {k} ORDER BY query_id, rk
+"""
+
+
+def _ann_ivf_sql(
+    dim: int = 64,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    max_query_id: int = 8,
+) -> str:
+    """Oracle for ann_ivf_topk — every training step is reproduced in
+    SQL: seed centroids = unit vectors with the smallest ids; argmax
+    assignment via row_number (desc dot, asc cluster — the HOF fold
+    and list_dot_product sum identically, so assignment is
+    bit-identical); one Lloyd step as 64 per-dimension round(avg(),6)
+    expressions (rounding absorbs cross-engine partial-sum order);
+    reassign; probe n_probe nearest refined centroids; exact cosine on
+    the probed lists; top-k."""
+    avg_list = ", ".join(
+        f"round(avg(v[{i + 1}]), 6)" for i in range(dim)
+    )
+    return f"""
+WITH u AS (
+  SELECT vec_id, {_UNIT_SQL} AS v FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cluster, v AS c FROM u ORDER BY vec_id LIMIT {n_centroids}
+), a0 AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT u.vec_id, u.v, s.cluster,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY list_dot_product(u.v, s.c) DESC, s.cluster ASC) AS rk
+    FROM u CROSS JOIN seeds s
+  ) WHERE rk = 1
+), refined AS (
+  SELECT cluster, [{avg_list}] AS c FROM a0 GROUP BY cluster
+), lists AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT u.vec_id, u.v, r.cluster,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY list_dot_product(u.v, r.c) DESC, r.cluster ASC) AS rk
+    FROM u CROSS JOIN refined r
+  ) WHERE rk = 1
+), qp AS (
+  SELECT query_id, qv, cluster FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, r.cluster,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, r.c) DESC, r.cluster ASC) AS rk
+    FROM u q CROSS JOIN refined r WHERE q.vec_id < {max_query_id}
+  ) WHERE rk <= {n_probe}
+), scored AS (
+  SELECT qp.query_id, l.vec_id AS neighbor_id,
+         round(list_dot_product(qp.qv, l.v), 6) AS cos
+  FROM qp JOIN lists l USING (cluster)
+  WHERE qp.query_id <> l.vec_id
 ), ranked AS (
   SELECT query_id, neighbor_id, cos,
          row_number() OVER (PARTITION BY query_id
@@ -1395,6 +1471,10 @@ WHERE rk <= 5 ORDER BY query_id, rk
 
     sql["embedding_near_dup_srp"] = _embedding_near_dup_srp_sql(
         dim=64, n_planes=4, threshold=0.3
+    )
+
+    sql["ann_ivf_topk"] = _ann_ivf_sql(
+        dim=64, n_centroids=8, n_probe=2, k=5, max_query_id=8
     )
 
     sql["language_id"] = _langid_sql()

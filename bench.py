@@ -44,6 +44,7 @@ HEADLINE = [
     "cosine_topk",
     "cosine_topk_gemm",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "language_id",
     "quality_score",
     "token_counts",

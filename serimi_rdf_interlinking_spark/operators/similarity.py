@@ -225,6 +225,121 @@ def cosine_topk_gemm(
     return _partial_topk(local.withColumn("cos", F.round("cos", 6)), k)
 
 
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer partitions the
+    corpus into centroid-owned lists; queries scan only their n_probe
+    nearest lists. The second scale path next to SRP-LSH — IVF adapts
+    its cells to the data distribution where SRP's planes are
+    data-oblivious.
+
+    Deterministic, ORACLE-REPRODUCIBLE training (every step mirrors in
+    ANSI SQL):
+    1. seed centroids = the unit-normalized corpus vectors with the
+       n_centroids smallest ids (data vectors, deterministic);
+    2. assign every unit vector to argmax dot(v, seed) — the HOF dot
+       folds left-to-right exactly like DuckDB's list_dot_product, so
+       assignment is bit-identical; ties break on centroid id;
+    3. one Lloyd refinement: centroid_j = per-dimension avg of its
+       members, ROUNDED to 6 dp — rounding absorbs the float
+       partial-sum ordering differences between engines (empty cells
+       simply drop);
+    4. reassign to the refined centroids (same argmax rule) = the
+       inverted lists; queries probe their n_probe nearest refined
+       centroids and brute-force only those lists, then the truncating
+       top-k merges. Recall vs cosine_topk is asserted in tests.
+    Returns (query_id, neighbor_id, cos, rk)."""
+    corpus = unit_vec(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("v0"),
+        ),
+        "v0",
+        "v",
+    ).drop("v0")
+    seeds = F.broadcast(
+        corpus.orderBy("neighbor_id")
+        .limit(n_centroids)
+        .select(
+            F.col("neighbor_id").alias("cluster"), F.col("v").alias("c")
+        )
+    )
+
+    def assign(vecs: DataFrame, idc: str, vcol: str, cents) -> DataFrame:
+        """(idc, vcol, cluster): argmax_j dot(vec, centroid_j), ties to
+        the smallest cluster id. Grouped on the id with the vector
+        carried via first() (identical across the K candidate rows)."""
+        scored = vecs.join(cents, how="cross").withColumn(
+            "sim", _dot(F.col(vcol), F.col("c"))
+        )
+        return (
+            scored.groupBy(idc)
+            .agg(
+                F.first(vcol).alias(vcol),
+                F.min(
+                    F.struct((-F.col("sim")).alias("ns"), F.col("cluster"))
+                ).alias("b"),
+            )
+            .withColumn("cluster", F.col("b.cluster"))
+            .drop("b")
+        )
+
+    assigned0 = assign(corpus, "neighbor_id", "v", seeds)
+    # one Lloyd step: per-dimension mean of members, rounded (engine-
+    # portable); dim is fixed per corpus, probed once
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row.d) if dim_row is not None else 0
+    refined = F.broadcast(
+        assigned0.groupBy("cluster")
+        .agg(
+            *[
+                F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}")
+                for i in range(dim)
+            ]
+        )
+        .select(
+            "cluster",
+            F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("c"),
+        )
+    )
+    lists = assign(corpus, "neighbor_id", "v", refined)
+
+    q = unit_vec(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv0"),
+        ),
+        "qv0",
+        "qv",
+    ).drop("qv0")
+    # n_probe nearest refined centroids per query: the window ranks K
+    # centroid rows per query (K = n_centroids, tiny) — not a corpus
+    # fan-in, so a window is the right tool here
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cluster"))
+    probes = (
+        q.join(refined, how="cross")
+        .withColumn("sim", _dot(F.col("qv"), F.col("c")))
+        .withColumn("prk", F.row_number().over(w))
+        .filter(F.col("prk") <= n_probe)
+        .select("query_id", "qv", "cluster")
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(_dot(F.col("qv"), F.col("v")), 6))
+    )
+    return _partial_topk(scored, k)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 bytes — stable
     across runs/machines with no RNG dependency."""

@@ -127,6 +127,24 @@ def test_cosine_topk_and_ann_recall(embs):
     assert all(r.cos <= 1.0 for r in ann.collect())
 
 
+def test_ann_ivf_recall(embs):
+    """IVF with n_probe=2 of 8 cells scans ~1/4 of the corpus; recall
+    vs brute force must stay well above that fraction (the quantizer
+    adapts cells to the data)."""
+    queries = embs.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(embs, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_ivf_topk(
+            embs, queries, k=5, n_centroids=8, n_probe=2
+        ).collect()
+    }
+    assert len(exact & ivf) / len(exact) >= 0.6
+
+
 def test_cosine_topk_gemm_parity(embs):
     """The BLAS path must return the same neighbor SETS as the
     expression-chain exact path (scores may differ in final ulps due to
