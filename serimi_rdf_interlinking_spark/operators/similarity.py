@@ -1,14 +1,20 @@
 """Similarity search over embedding columns.
 
-* brute-force cosine top-k — the exactness baseline (cross join of the
-  query set against the corpus; queries are few, so the join broadcasts
-  the query side and scans the corpus once);
-* LSH-bucketed ANN — the scale path: sign-random-projection bucket
-  keys from deterministic md5-derived hyperplanes; probes only matching
-  buckets. Recall is tested against the brute-force baseline.
+* `cosine_topk` — the exactness baseline: broadcast query side, corpus
+  scanned once, JVM-side arithmetic, two-level truncating top-k;
+* `cosine_topk_gemm` — the same exact semantics through a vectorized
+  pandas-UDF numpy GEMM (BLAS) with batch-local truncation — the fast
+  path for wide embeddings;
+* `ann_lsh_topk` — SRP-LSH scale path: sign-random-projection buckets
+  from deterministic md5-derived hyperplanes, Hamming<=1 multiprobe;
+* `ann_ivf_topk` — IVF scale path: a data-adaptive coarse quantizer
+  (deterministic seeds + one rounded Lloyd step, fully reproduced in
+  the SQL oracle); queries scan only their probed inverted lists.
 
-All arithmetic is JVM-side (zip_with/aggregate higher-order functions —
-whole-stage codegen, no Python).
+Recall of both ANN paths is tested against the brute-force baseline.
+NaN note: a zero vector yields NaN cosines; the truncating top-k sorts
+NaN LAST (ascending struct sort) where a row_number window's DESC sort
+would put NaN first — the truncating order is the useful one.
 """
 
 from __future__ import annotations
