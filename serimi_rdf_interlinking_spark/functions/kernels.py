@@ -511,7 +511,12 @@ def xmatch_with_expansion(a: str, b: str) -> float:
     """matching_module.rb:254-289. Initial expansion only when either
     side has a 1-char token and both sides have <=4 tokens; tries the
     canonical arrangement forward/reversed against the other side
-    forward/reversed and takes the max xmatch."""
+    forward/reversed and takes the max xmatch.
+
+    Faithful quirk: the reference is ASYMMETRIC here — when BOTH sides
+    carry 1-char tokens, only side a expands (`elsif aa.size > 0`
+    precedes the b branch), so f(a,b) != f(b,a) is possible
+    (hypothesis-verified in tests/test_properties.py)."""
     if len(a) == 0 and len(b) == 0:
         return 1.0
     # Ruby split(" ") is the awk-style whitespace split.

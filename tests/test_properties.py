@@ -88,11 +88,34 @@ def test_hm_kernel_reference_algebra(x, y):
 
 @settings(max_examples=200, deadline=None)
 @given(st.text(max_size=20), st.text(max_size=20))
-def test_asm_symmetric_bounded(a, b):
+def test_asm_bounded(a, b):
+    """ASM stays in [0,1] on ARBITRARY text. No symmetry assertion
+    here: the reference's xmatch_with_expansion is genuinely
+    ASYMMETRIC when single-char tokens trigger initials expansion —
+    the expansion applies to side a preferentially
+    (extension_module: `elsif aa.size > 0` before the b-side branch),
+    so e.g. asm('a', '0 a0') != asm('0 a0', 'a'). Hypothesis found
+    this; the port reproduces it faithfully."""
     from serimi_rdf_interlinking_spark.functions.kernels import (
         advanced_string_matching,
     )
 
     s = advanced_string_matching(a, b)
     assert 0.0 <= s <= 1.0 + 1e-9
-    assert s == advanced_string_matching(b, a)
+
+
+_word = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=2, max_size=6)
+_phrase = st.lists(_word, min_size=0, max_size=4).map(" ".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_phrase, _phrase)
+def test_asm_symmetric_without_initials(a, b):
+    """With no single-char tokens (and <= 4 tokens/side) the initials
+    expansion never fires and every constituent metric is symmetric —
+    so ASM is symmetric on this regime."""
+    from serimi_rdf_interlinking_spark.functions.kernels import (
+        advanced_string_matching,
+    )
+
+    assert advanced_string_matching(a, b) == advanced_string_matching(b, a)
