@@ -262,6 +262,8 @@ def ann_ivf_topk(
        centroids and brute-force only those lists, then the truncating
        top-k merges. Recall vs cosine_topk is asserted in tests.
     Returns (query_id, neighbor_id, cos, rk)."""
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row.d) if dim_row is not None else 0
     corpus = unit_vec(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"),
@@ -281,7 +283,11 @@ def ann_ivf_topk(
     def assign(vecs: DataFrame, idc: str, vcol: str, cents) -> DataFrame:
         """(idc, vcol, cluster): argmax_j dot(vec, centroid_j), ties to
         the smallest cluster id. Grouped on the id with the vector
-        carried via first() (identical across the K candidate rows)."""
+        carried via first() (identical across the K candidate rows).
+        The HOF dot is the right tool HERE: an unrolled chain inside
+        the K-way cross join was measured SLOWER (the K x dim term
+        blow-up overruns codegen method limits); both fold
+        left-to-right, so either is oracle-bit-identical."""
         scored = vecs.join(cents, how="cross").withColumn(
             "sim", _dot(F.col(vcol), F.col("c"))
         )
@@ -299,9 +305,7 @@ def ann_ivf_topk(
 
     assigned0 = assign(corpus, "neighbor_id", "v", seeds)
     # one Lloyd step: per-dimension mean of members, rounded (engine-
-    # portable); dim is fixed per corpus, probed once
-    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row.d) if dim_row is not None else 0
+    # portable)
     refined = F.broadcast(
         assigned0.groupBy("cluster")
         .agg(
@@ -341,7 +345,9 @@ def ann_ivf_topk(
     scored = (
         lists.join(F.broadcast(probes), "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(_dot(F.col("qv"), F.col("v")), 6))
+        .withColumn(
+            "cos", F.round(dot_unrolled(F.col("qv"), F.col("v"), dim), 6)
+        )
     )
     return _partial_topk(scored, k)
 
