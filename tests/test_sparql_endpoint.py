@@ -95,6 +95,18 @@ def test_read_table_dispatches_urls_to_endpoint(spark, monkeypatch):
     assert called["url"] == "https://dbpedia.test/sparql"
 
 
+def test_default_transport_unreachable_guides_to_dump(spark):
+    """Without network, the default transport must fail fast with a
+    message pointing at the dump-ingestion path (port 1 refuses
+    immediately — no DNS, no timeout wait)."""
+    from serimi_rdf_interlinking_spark.sources.sparql_endpoint import (
+        read_sparql_endpoint,
+    )
+
+    with pytest.raises(RuntimeError, match="ingest a dump"):
+        read_sparql_endpoint(spark, "http://127.0.0.1:1/sparql")
+
+
 def test_matcher_runs_against_fake_endpoint(spark, fixture_small):
     """End-to-end: the matcher consumes an endpoint-backed target frame
     exactly like a table read (the reference's only mode)."""
