@@ -161,6 +161,77 @@ def test_event_time_sessionize_out_of_order_cross_batch(spark, tmp_path):
     assert got == _expected_closed(ev, gap_us=3600 * 1_000_000)
 
 
+def test_event_time_sessionize_randomized_parity(spark, tmp_path):
+    """Seeded randomized stream: 3 users x ~10 events with bounded
+    out-of-order arrival across 3 micro-batches (displacement kept
+    well inside the 2-hour watermark delay), plus far-future flush
+    events. Emitted sessions must equal the batch gap rule minus each
+    user's final (open, flush-started) session."""
+    import random
+    import time
+
+    import pandas as pd
+
+    from serimi_rdf_interlinking_spark.streaming.sessionize import (
+        stream_sessionize_event_time,
+    )
+
+    rng = random.Random(29)
+    events = []  # (event_id, user_id, t_seconds)
+    eid = 1
+    for uid in (1, 2, 3):
+        t = rng.randrange(100, 1000)
+        for _ in range(10):
+            # gaps 1-90 min: some extend sessions (gap 3600s), some split
+            t += rng.randrange(60, 5400)
+            events.append((eid, uid, t))
+            eid += 1
+    # bounded shuffle: sort by event time, then swap within windows of
+    # 3 — arrival displacement stays far below the 2h watermark delay
+    events.sort(key=lambda e: e[2])
+    for i in range(0, len(events) - 1, 3):
+        j = min(i + rng.randrange(1, 3), len(events) - 1)
+        events[i], events[j] = events[j], events[i]
+    flush_t = max(t for _, _, t in events) + 90_000  # ~1 day later
+    files = [events[0:10], events[10:20], events[20:30]]
+    files[-1] = files[-1] + [(900 + u, u, flush_t) for u in (1, 2, 3)]
+
+    ev_dir = str(tmp_path / "events")
+    sec = lambda s: pd.Timestamp(s * 1_000_000_000)
+    for chunk in files:
+        pdf = pd.DataFrame(
+            {
+                "event_id": [e[0] for e in chunk],
+                "user_id": [e[1] for e in chunk],
+                "ts": [sec(e[2]) for e in chunk],
+                "event_type": ["a"] * len(chunk),
+                "value": [1.0] * len(chunk),
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(ev_dir)
+        time.sleep(1.1)
+
+    q = stream_sessionize_event_time(
+        spark, ev_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        gap_seconds=3600.0, watermark_delay="2 hours",
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(300), "stream did not terminate in 300s"
+
+    got = sorted(
+        (
+            int(r.user_id), int(r.session_id), int(r.n_events),
+            int(r.start_us), int(r.end_us),
+        )
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    ev = spark.read.parquet(ev_dir).toPandas()
+    ev["us"] = pd.to_datetime(ev["ts"]).astype("int64") // 1000
+    expected = _expected_closed(ev, gap_us=3600 * 1_000_000)
+    assert len(expected) >= 6  # the gap distribution really splits
+    assert got == expected
+
+
 class _FakeState:
     def __init__(self, value=None, timed_out=False):
         self._v = value
