@@ -282,16 +282,20 @@ def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_partkey")
         .agg(F.countDistinct("l_orderkey").alias("n_orders"))
         .filter(F.col("n_orders") > 10)
-        .select("l_partkey")
+        .select("l_partkey", F.lit(1).alias("is_hot"))
     )
+    # single consumer of the distinct (order, part) frame: flag hot
+    # membership with one left join, then ONE aggregation computes both
+    # counts — the two-subtree form re-executed the scan+distinct twice
+    # inside one action (the round-2 multi-consumer lesson)
     per_order = li.select("l_orderkey", "l_partkey").distinct()
-    inter = per_order.join(hot, "l_partkey").groupBy("l_orderkey").agg(
-        F.count("*").alias("n_hot")
-    )
-    base = per_order.groupBy("l_orderkey").agg(F.count("*").alias("n_parts"))
     return (
-        base.join(inter, "l_orderkey", "left")
-        .withColumn("n_hot", F.coalesce("n_hot", F.lit(0)))
+        per_order.join(hot, "l_partkey", "left")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.coalesce("is_hot", F.lit(0))).cast("long").alias("n_hot"),
+        )
         .withColumn("n_diff", F.col("n_parts") - F.col("n_hot"))
         .orderBy("l_orderkey")
     )
