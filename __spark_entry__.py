@@ -422,6 +422,56 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_shipping_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional aggregation: per line status in a
+    ship-date year, how many lines belong to high- vs low-priority
+    orders. One fact-fact join (date filter pushed to the scan) and
+    CASE-conditional sums that partial-aggregate map-side."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _read(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional ratio: the revenue share of one
+    part brand within a ship-date window, per month. LIKE-free brand
+    equality filter stays in the aggregation (the ratio needs both
+    branches), the date filter pushes to the scan, and the part
+    dimension broadcasts."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-07-01")
+    )
+    part = _read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_brand") == "Brand#1", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("brand1_share_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .orderBy("month")
+    )
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1-style left-semi + left-anti joins: customers with/without
     orders per market segment."""
@@ -801,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_per_nation": q_revenue_per_nation,
         "top_orders": q_top_orders,
         "local_supplier_volume": q_local_supplier_volume,
+        "priority_shipping_mix": q_priority_shipping_mix,
+        "brand_revenue_share": q_brand_revenue_share,
         "semi_anti_join": q_semi_anti_join,
         "running_window": q_running_window,
         "sessionize": q_sessionize,
@@ -1338,6 +1390,32 @@ WHERE r_name = 'EUROPE'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+    sql["priority_shipping_mix"] = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+    sql["brand_revenue_share"] = """
+SELECT date_trunc('month', l_shipdate) AS month,
+       round(100.0 * sum(CASE WHEN p_brand = 'Brand#1'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6)
+         AS brand1_share_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'
+GROUP BY 1 ORDER BY 1
 """
 
     sql["semi_anti_join"] = """

@@ -31,6 +31,8 @@ HEADLINE = [
     "revenue_per_nation",
     "top_orders",
     "local_supplier_volume",
+    "priority_shipping_mix",
+    "brand_revenue_share",
     "semi_anti_join",
     "running_window",
     "sessionize",
