@@ -339,6 +339,36 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation — subtotals per (returnflag, linestatus),
+    per returnflag, and grand total in ONE pass (grouping-sets
+    expansion, partial-aggregated map-side). Null grouping keys are
+    disambiguated with grouping() -> 'ALL' markers so the oracle
+    compares without null-representation skew."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            # grouping() is only legal inside the aggregate list
+            F.grouping("l_returnflag").alias("g1"),
+            F.grouping("l_linestatus").alias("g2"),
+        )
+        .select(
+            F.when(F.col("g1") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_returnflag"))
+            .alias("returnflag"),
+            F.when(F.col("g2") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_linestatus"))
+            .alias("linestatus"),
+            "n_lines",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
 def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way star join (broadcast dims) + aggregation."""
     li = _read(spark, sf_dir, "lineitem")
@@ -852,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "local_supplier_volume": q_local_supplier_volume,
         "priority_shipping_mix": q_priority_shipping_mix,
+        "pricing_rollup": q_pricing_rollup,
         "brand_revenue_share": q_brand_revenue_share,
         "semi_anti_join": q_semi_anti_join,
         "running_window": q_running_window,
@@ -1390,6 +1421,18 @@ WHERE r_name = 'EUROPE'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+    sql["pricing_rollup"] = """
+SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END
+         AS returnflag,
+       CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END
+         AS linestatus,
+       count(*) AS n_lines,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
 """
 
     sql["priority_shipping_mix"] = """

@@ -28,6 +28,7 @@ HEADLINE = [
     "set_operations",
     # relational core
     "pricing_summary",
+    "pricing_rollup",
     "revenue_per_nation",
     "top_orders",
     "local_supplier_volume",
