@@ -369,6 +369,25 @@ def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregation (sort-based, deterministic): price
+    quartiles per return flag. Spark's percentile() and DuckDB's
+    quantile_cont() both interpolate linearly over the sorted values,
+    so the results compare exactly (unlike approx_percentile, whose
+    sketch is engine-specific)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
+            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
+            F.round(F.max("l_extendedprice"), 4).alias("pmax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way star join (broadcast dims) + aggregation."""
     li = _read(spark, sf_dir, "lineitem")
@@ -883,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "priority_shipping_mix": q_priority_shipping_mix,
         "pricing_rollup": q_pricing_rollup,
+        "quantity_quantiles": q_quantity_quantiles,
         "brand_revenue_share": q_brand_revenue_share,
         "semi_anti_join": q_semi_anti_join,
         "running_window": q_running_window,
@@ -1433,6 +1453,15 @@ SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY returnflag, linestatus
+"""
+
+    sql["quantity_quantiles"] = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(max(l_extendedprice), 4) AS pmax
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
     sql["priority_shipping_mix"] = """

@@ -29,6 +29,7 @@ HEADLINE = [
     # relational core
     "pricing_summary",
     "pricing_rollup",
+    "quantity_quantiles",
     "revenue_per_nation",
     "top_orders",
     "local_supplier_volume",
