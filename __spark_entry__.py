@@ -802,6 +802,31 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split counts per assigned split +
+    a stratified (per-language-bucket) sample count — the reproducible
+    sampling staple of a training-data pipeline. The md5 hash-bucket
+    assignment mirrors exactly in SQL."""
+    from serimi_rdf_interlinking_spark.operators.sampling import (
+        deterministic_split,
+        stratified_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    split = deterministic_split(
+        docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    counts = split.groupBy("split").agg(F.count("*").alias("n_docs"))
+    strata = docs.withColumn("stratum", F.pmod(F.col("doc_id"), F.lit(3)))
+    samp = (
+        stratified_sample(strata, "stratum", 0.25, "doc_id")
+        .groupBy(F.col("stratum").cast("string").alias("split"))
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("split", F.concat(F.lit("sample_s"), F.col("split")))
+    )
+    return counts.unionByName(samp).orderBy("split")
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serimi_rdf_interlinking_spark.operators.textstats import language_id
 
@@ -922,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "language_id": q_language_id,
         "media_features": q_media_features,
+        "doc_split": q_doc_split,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
@@ -1630,6 +1656,32 @@ WHERE rk <= 5 ORDER BY query_id, rk
     sql["ann_ivf_topk"] = _ann_ivf_sql(
         dim=64, n_centroids=8, n_probe=2, k=5, max_query_id=8
     )
+
+    sql["doc_split"] = """
+WITH b AS (
+  SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT)
+           % 10000 AS bkt
+  FROM documents
+), assigned AS (
+  SELECT CASE WHEN bkt < 8000 THEN 'train'
+              WHEN bkt < 9000 THEN 'valid'
+              WHEN bkt < 10000 THEN 'test'
+              ELSE '__rest__' END AS split
+  FROM b
+), counts AS (
+  SELECT split, count(*) AS n_docs FROM assigned GROUP BY split
+), strat AS (
+  SELECT (doc_id % 3) AS stratum,
+         CAST(('0x' || substr(md5((doc_id % 3)::VARCHAR || '|'
+                                  || doc_id::VARCHAR), 1, 15)) AS BIGINT)
+           % 10000 AS sb
+  FROM documents
+), samp AS (
+  SELECT 'sample_s' || stratum::VARCHAR AS split, count(*) AS n_docs
+  FROM strat WHERE sb < 2500 GROUP BY stratum
+)
+SELECT * FROM counts UNION ALL SELECT * FROM samp ORDER BY split
+"""
 
     sql["language_id"] = _langid_sql()
 

@@ -55,6 +55,7 @@ HEADLINE = [
     "fingerprint",
     "pack_documents",
     "media_features",
+    "doc_split",
     # flagship end-to-end matcher (fixture-based, fixed size)
     "serimi_alignment",
 ]

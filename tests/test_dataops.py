@@ -160,6 +160,49 @@ def test_cosine_topk_gemm_parity(embs):
         assert r.cos == pytest.approx(ex_cos[(r.query_id, r.neighbor_id)], abs=2e-6)
 
 
+def test_deterministic_split_properties(docs):
+    """Splits are disjoint, exhaustive, repeatable, and roughly sized
+    to their fractions; the same key always lands in the same split."""
+    from serimi_rdf_interlinking_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    a = deterministic_split(docs, "doc_id", fr)
+    b = deterministic_split(docs, "doc_id", fr)
+    pa = {r.doc_id: r.split for r in a.collect()}
+    pb = {r.doc_id: r.split for r in b.collect()}
+    assert pa == pb                      # repeatable
+    assert set(pa.values()) <= {"train", "valid", "test"}  # exhaustive
+    n = len(pa)
+    n_train = sum(1 for v in pa.values() if v == "train")
+    assert 0.7 * n <= n_train <= 0.9 * n  # ~fraction-sized
+
+
+def test_stratified_sample_bounds(docs):
+    from pyspark.sql import functions as FF
+
+    from serimi_rdf_interlinking_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    strata = docs.withColumn("stratum", FF.pmod(FF.col("doc_id"), FF.lit(4)))
+    kept = stratified_sample(strata, "stratum", 0.3, "doc_id")
+    per = {
+        r.stratum: r.n
+        for r in kept.groupBy("stratum").agg(FF.count("*").alias("n")).collect()
+    }
+    tot = {
+        r.stratum: r.n
+        for r in strata.groupBy("stratum").agg(FF.count("*").alias("n")).collect()
+    }
+    for s, n_tot in tot.items():
+        frac = per.get(s, 0) / n_tot
+        assert 0.15 <= frac <= 0.45, (s, frac)  # ~0.3 within each stratum
+    # subset of the input
+    assert kept.join(strata, ["doc_id"], "left_anti").count() == 0
+
+
 def test_language_id(spark):
     df = spark.createDataFrame(
         [
