@@ -521,6 +521,27 @@ def q_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar aggregate: revenue from
+    lineitems whose quantity falls below 20% of their part's average
+    quantity. The correlation decorrelates into an aggregate + join-back
+    (per-part averages are a partial-aggregated, part-keyed frame). The
+    threshold average rounds to 6 dp on BOTH engines so a float
+    partial-sum ordering difference can never flip a boundary row."""
+    li = _read(spark, sf_dir, "lineitem")
+    avg_q = li.groupBy("l_partkey").agg(
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty")
+    )
+    return (
+        li.join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.count("*").alias("n_small"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1-style left-semi + left-anti joins: customers with/without
     orders per market segment."""
@@ -929,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_rollup": q_pricing_rollup,
         "quantity_quantiles": q_quantity_quantiles,
         "brand_revenue_share": q_brand_revenue_share,
+        "small_quantity_revenue": q_small_quantity_revenue,
         "semi_anti_join": q_semi_anti_join,
         "running_window": q_running_window,
         "sessionize": q_sessionize,
@@ -1514,6 +1536,17 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1996-07-01'
 GROUP BY 1 ORDER BY 1
+"""
+
+    sql["small_quantity_revenue"] = """
+WITH a AS (
+  SELECT l_partkey, round(avg(l_quantity), 6) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT count(*) AS n_small,
+       round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN a USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
 """
 
     sql["semi_anti_join"] = """

@@ -35,6 +35,7 @@ HEADLINE = [
     "local_supplier_volume",
     "priority_shipping_mix",
     "brand_revenue_share",
+    "small_quantity_revenue",
     "semi_anti_join",
     "running_window",
     "sessionize",
