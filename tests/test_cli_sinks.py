@@ -117,6 +117,32 @@ def test_cli_parser_defaults():
     assert not args.use_pivot
 
 
+def test_cli_new_flags_wire_through(spark, triple_dfs, tmp_path):
+    """-a (idempotent append) + --word-by-word together: the run
+    succeeds, and a SECOND append run leaves the output byte-identical
+    (the resumed-run contract, end to end through the CLI)."""
+    src, tgt = triple_dfs
+    src_dir = str(tmp_path / "srcF")
+    tgt_dir = str(tmp_path / "tgtF")
+    out_dir = str(tmp_path / "outF")
+    src.write.mode("overwrite").parquet(src_dir)
+    tgt.write.mode("overwrite").parquet(tgt_dir)
+
+    from serimi_rdf_interlinking_spark.cli import main
+    from serimi_rdf_interlinking_spark.sources.fixtures import CLASS_CITY
+
+    args = [
+        "-s", src_dir, "-t", tgt_dir, "-c", CLASS_CITY, "-o", out_dir,
+        "-k", "10", "-p", "1", "--shuffle-partitions", "4",
+        "-a", "--word-by-word",
+    ]
+    assert main(args) == 0
+    first = _read_bytes_sorted(out_dir)
+    assert len(first) > 0
+    assert main(args) == 0  # append rerun: no duplicates, no clobber
+    assert _read_bytes_sorted(out_dir) == first
+
+
 def test_cli_end_to_end(spark, triple_dfs, tmp_path):
     """Run the CLI main() in-process against fixture parquet."""
     src, tgt = triple_dfs
