@@ -33,18 +33,32 @@ def _norm(c: Column) -> Column:
     return F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))
 
 
+# widest dim the static unrolled chain handles: the left-deep
+# expression tree is converted recursively and overflows the JVM
+# converter stack somewhere past ~300 terms (measured: 256 ok, 320
+# StackOverflowError on Spark 4.1). Above this the HOF fold takes over
+# — it sums in the SAME left-to-right order, so results (and the SQL
+# oracles) are unaffected; only the codegen-vs-interpreter speed trade
+# moves, and at 256+ dims the vectorized GEMM path is the right tool
+# anyway.
+MAX_UNROLL_DIM = 256
+
+
 def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     """Dot product as a static left-deep a[0]*b[0] + a[1]*b[1] + ...
     expression chain. Higher-order functions (aggregate/zip_with) run
     through Catalyst's lambda INTERPRETER per element; the unrolled
     chain stays inside whole-stage codegen — measured 2.1x faster at
     64 dims on the near-dup pair join, with a bit-identical result
-    (same left-to-right float addition order as the fold)."""
+    (same left-to-right float addition order as the fold). Dims above
+    MAX_UNROLL_DIM fall back to the fold (same values, see above)."""
     import functools
     import operator
 
     if dim <= 0:  # empty-frame edge: the fold's identity element
         return F.lit(0.0)
+    if dim > MAX_UNROLL_DIM:
+        return _dot(a, b)
     return functools.reduce(
         operator.add, [a[i] * b[i] for i in range(dim)]
     )
@@ -130,9 +144,19 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self).
-    Returns (query_id, neighbor_id, cos, rk)."""
+    Returns (query_id, neighbor_id, cos, rk).
+
+    The pair-scoring dot product is the UNROLLED codegen chain (dim
+    probed once, like ann_lsh_topk) — the interpreted higher-order
+    aggregate/zip_with fold was measured 2.1x slower at 64 dims and
+    the exact path is the one users benchmark first. Both sum
+    left-to-right, so the rounded cosines are bit-identical."""
+    if dim is None:
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        dim = int(first.d) if first is not None else 0
     # the query side broadcasts, so the scoring fan-out runs in the
     # corpus side's tasks — which inherit the scan partitioning; a
     # small single-file test input would serialize scoring behind one
@@ -158,7 +182,9 @@ def cosine_topk(
     scored = (
         corpus.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(_dot(F.col("qv"), F.col("v")), 6))
+        .withColumn(
+            "cos", F.round(dot_unrolled(F.col("qv"), F.col("v"), dim), 6)
+        )
     )
     return _partial_topk(scored, k)
 
@@ -185,14 +211,18 @@ def cosine_topk_gemm(
     Float caveat: BLAS sums products in SIMD/pairwise order, not
     left-to-right, so scores can differ from cosine_topk in the last
     ulps; parity tests assert neighbor-set equality, and the driver
-    check is rows-only. Returns (query_id, neighbor_id, cos, rk)."""
+    check verifies the neighbor SETS against the exact SQL oracle.
+    Id columns inherit id_col's type (long/int/string all work — the
+    schema is derived from embeddings.schema, not hardcoded).
+    Returns (query_id, neighbor_id, cos, rk)."""
     import numpy as np
     import pandas as pd
 
+    id_type = embeddings.schema[id_col].dataType.simpleString()
     qrows = queries.select(id_col, vec_col).collect()
     if not qrows:
         return embeddings.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cos double, rk int"
+            [], f"query_id {id_type}, neighbor_id {id_type}, cos double, rk int"
         )
     qids = np.array([r[0] for r in qrows])
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
@@ -226,7 +256,7 @@ def cosine_topk_gemm(
     local = widen_to_cluster(
         embeddings.select(id_col, vec_col)
     ).mapInPandas(
-        score_batches, "query_id long, neighbor_id long, cos double"
+        score_batches, f"query_id {id_type}, neighbor_id {id_type}, cos double"
     )
     return _partial_topk(local.withColumn("cos", F.round("cos", 6)), k)
 
@@ -305,18 +335,24 @@ def ann_ivf_topk(
 
     assigned0 = assign(corpus, "neighbor_id", "v", seeds)
     # one Lloyd step: per-dimension mean of members, rounded (engine-
-    # portable)
+    # portable). Shaped as ONE array aggregate — posexplode to
+    # (cluster, pos, x), avg per (cluster, pos), fold back into the
+    # pos-ordered centroid array — instead of dim per-dimension agg
+    # columns: at 1k+ dims the per-column form bloats the plan and
+    # overruns codegen method limits, while this shape is
+    # dim-independent (plan-asserted in tests at 512 dims). The
+    # round(avg, 6) contract is unchanged, so the SQL oracle's
+    # per-dimension averages still match bit-for-bit.
     refined = F.broadcast(
-        assigned0.groupBy("cluster")
+        assigned0.select("cluster", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("cluster")
         .agg(
-            *[
-                F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}")
-                for i in range(dim)
-            ]
-        )
-        .select(
-            "cluster",
-            F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("c"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
         )
     )
     lists = assign(corpus, "neighbor_id", "v", refined)
