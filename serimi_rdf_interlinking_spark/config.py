@@ -54,6 +54,20 @@ class SerimiConfig:
     checkpoint_dir: str | None = None     # per-stage parquet checkpoints + pipeline_state
     run_id: str = "run0"
 
+    # Sequential-mode promotion source. False (default): promote the
+    # SEARCHED predicate of the keyword's winning tier — deterministic,
+    # the round-2 documented trade. True: promote the predicate of a
+    # PASSING DESCRIPTION TRIPLE (f11's found_p, min() over the passing
+    # triples) — the reference's $found semantics
+    # (search_module.rb:252-260), where the promoted predicate is the
+    # one whose literal actually passed ASM, which can differ from the
+    # searched predicate. A found predicate outside the learned
+    # searchable list falls back to the searched-tier predicate (the
+    # restricted index stays closed over the cascade; the reference
+    # could promote novel predicates, but only via nondeterministic
+    # describe order).
+    promote_found_predicate: bool = False
+
     # J4 word-by-word fallback tier (search_module.rb:172-198). Dead
     # code in the reference ($word_by_word is never set,
     # search_module.rb:97) — opt-in here with the intended semantics:

@@ -41,10 +41,11 @@ from .operators import rds_core
 from .operators.blocking import blocking_order
 from .operators.candidates import (
     and_hits,
-    build_token_index,
+    apply_hot_token_cap,
     f11_passing,
     phrase_hits,
     prepare_keywords,
+    raw_token_index,
     select_candidates,
     word_hits,
 )
@@ -83,23 +84,39 @@ class SerimiMatcher:
         accumulate executor storage (round-2 verdict hygiene item)."""
         keep_ids = {id(df) for df in keep}
         to_release = [df for df in self._cached if id(df) not in keep_ids]
+        rdd_logger = "org.apache.spark.rdd.MapPartitionsRDD"
+        jvm = prev_level = None
         if to_release:
             # silence the expected per-RDD "locally checkpointed ...
             # cannot be recomputed after unpersisting" WARN — releasing
-            # is deliberate and the frames are never touched again
+            # is deliberate and the frames are never touched again. The
+            # suppression is SCOPED to the unpersist loop: the previous
+            # effective level is restored in the finally below, so
+            # unrelated RDD warnings later in the session still surface.
             try:
                 jvm = to_release[0].sparkSession._jvm
+                prev_level = jvm.org.apache.logging.log4j.LogManager.getLogger(
+                    rdd_logger
+                ).getLevel()
                 jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-                    "org.apache.spark.rdd.MapPartitionsRDD",
-                    jvm.org.apache.logging.log4j.Level.ERROR,
+                    rdd_logger, jvm.org.apache.logging.log4j.Level.ERROR
                 )
             except Exception:  # pragma: no cover - log tuning only
-                pass
-        for df in to_release:
-            try:
-                df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-            except Exception:  # pragma: no cover - best-effort cleanup
-                log.debug("checkpoint release failed", exc_info=True)
+                jvm = None
+        try:
+            for df in to_release:
+                try:
+                    df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+                except Exception:  # pragma: no cover - best-effort cleanup
+                    log.debug("checkpoint release failed", exc_info=True)
+        finally:
+            if jvm is not None and prev_level is not None:
+                try:
+                    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                        rdd_logger, prev_level
+                    )
+                except Exception:  # pragma: no cover - log tuning only
+                    pass
         self._cached = [df for df in self._cached if id(df) in keep_ids]
 
     def _mat(self, df: DataFrame, name: str) -> DataFrame:
@@ -215,35 +232,52 @@ class SerimiMatcher:
           nsw predicate is the one promoted;
         * keyword fold order is (rank, label_idx, kw) — entity order
           by blocking rank, then the reference's per-entity label
-          iteration.
+          iteration;
+        * with cfg.promote_found_predicate the promoted predicate is
+          f11's found_p of the winning tier — the predicate of a
+          PASSING DESCRIPTION TRIPLE, the reference's actual $found
+          source — falling back to the searched-tier predicate when
+          the found predicate is outside the learned cascade (keeps
+          the restricted index closed; see config.py).
         """
-        t1: dict[tuple, int] = {}
+        found_mode = self.cfg.promote_found_predicate
+        # min(struct(tier, found_p)): winning tier first, then the
+        # deterministic found-predicate pick within that tier
+        agg = F.min(F.struct(F.col("tier"), F.col("found_p"))).alias("b")
+        t1: dict[tuple, tuple] = {}
         if cr.passing_t1 is not None:
             for r in (
                 cr.passing_t1.groupBy("rank", "label_idx", "kw")
-                .agg(F.min("tier").alias("t"))
+                .agg(agg)
                 .collect()
             ):
-                t1[(r.rank, r.label_idx, r.kw)] = r.t
-        t2and: dict[tuple, int] = {}
-        t2nsw: dict[tuple, int] = {}
+                t1[(r.rank, r.label_idx, r.kw)] = (r.b.tier, r.b.found_p)
+        t2and: dict[tuple, tuple] = {}
+        t2nsw: dict[tuple, tuple] = {}
         if cr.passing_t2 is not None:
             for r in (
                 cr.passing_t2.groupBy("rank", "label_idx", "kw", "variant")
-                .agg(F.min("tier").alias("t"))
+                .agg(agg)
                 .collect()
             ):
                 d = t2nsw if r.variant == "nsw" else t2and
                 key = (r.rank, r.label_idx, r.kw)
-                d[key] = min(d.get(key, r.t), r.t)
+                cur = (r.b.tier, r.b.found_p)
+                d[key] = min(d.get(key, cur), cur)
+
+        def promoted(tier: int, found_p: str | None) -> str:
+            if found_mode and found_p in order:
+                return found_p
+            return order[tier]
+
         new_order = list(order)
         for key in sorted(set(t1) | set(t2and) | set(t2nsw)):
             if key in t1:           # tier-1 hit: and_search never ran
-                won = order[t1[key]]
+                won = promoted(*t1[key])
             elif key in t2nsw:      # nsw filter() runs after 'and'
-                won = order[t2nsw[key]]
+                won = promoted(*t2nsw[key])
             else:
-                won = order[t2and[key]]
+                won = promoted(*t2and[key])
             new_order = [won] + [p for p in new_order if p != won]
         return new_order
 
@@ -715,12 +749,13 @@ class SerimiMatcher:
         )
         tick("blocking+keywords")
 
-        # warm-up chunk: any-predicate search (wbwp == ['?p']).
-        # build_token_index materializes the raw index via _mat itself,
-        # so the hot-token guard scans the checkpointed frame.
-        index_all = build_token_index(
-            target, None, cfg, mat=lambda df: self._mat(df, "index_all")
+        # warm-up chunk: any-predicate search (wbwp == ['?p']). The RAW
+        # index is materialized once; the hot-token guard scans the
+        # checkpointed frame.
+        index_raw = self._mat(
+            raw_token_index(target, None, cfg), "index_all"
         )
+        index_all = apply_hot_token_cap(index_raw, cfg)
         kw0 = keywords.filter(F.col("chunk_id") == 0)
         cr0 = self._retrieve(kw0, index_all, target, None, None, stopwords, "warm")
         tick("warm retrieve")
@@ -729,14 +764,20 @@ class SerimiMatcher:
         )
         tick("warmup kernel")
 
-        # the main-retrieval index is DERIVED from the materialized
-        # warm-up index (a predicate filter over the checkpointed frame)
-        # instead of a second full build — saves a target scan, the
-        # explode+distinct shuffle and the hot-token pass. The hot-token
-        # ceiling was applied on the any-predicate index, which is the
-        # conservative direction (never more fan-out).
+        # the main-retrieval index is DERIVED from the materialized RAW
+        # index (a predicate filter over the checkpointed frame) instead
+        # of a second full build — saves a target scan and the
+        # explode+distinct shuffle. The hot-token cap is RE-APPLIED on
+        # the restricted frame (one cheap aggregation over the
+        # checkpoint): a token hot on the any-predicate index but cold
+        # under the searched predicates keeps its full (small) fan-out,
+        # and the capped sample is always drawn from rows that survive
+        # the predicate filter — never pre-filter rows that the
+        # restriction would then discard.
         if search_preds:
-            index = index_all.filter(F.col("p").isin(search_preds))
+            index = apply_hot_token_cap(
+                index_raw.filter(F.col("p").isin(search_preds)), cfg
+            )
             tiers = {p: i for i, p in enumerate(search_preds)}
         else:
             index, tiers = index_all, None  # fallback: nothing learned

@@ -86,34 +86,25 @@ def prepare_keywords(
 # ---------------------------------------------------------------------------
 
 
-def build_token_index(
+# membership mechanism switch for the hot-token cap: below this many
+# hot tokens an isin() literal is cheapest (no extra join, no plan
+# bloat); above it — e.g. a low max_candidates_per_token over a large
+# corpus — the literal would inflate the plan/driver, so membership
+# goes through a broadcast semi/anti join instead (degrades gracefully
+# with the hot-set size).
+HOT_LIST_ISIN_MAX = 2048
+
+
+def raw_token_index(
     target: DataFrame,
     search_predicates: list[str] | None,
     cfg: SerimiConfig,
-    mat=None,
 ) -> DataFrame:
-    """(tok, cand, p, norm_o) over distinct tokens of target literal
-    values.
-
-    Skew guard: tokens whose index fan-out exceeds
-    cfg.max_candidates_per_token are CAPPED to a deterministic sample
-    of that many rows (the cap smallest (cand, p, norm_o) triples,
-    chosen by a two-level truncating aggregate so no single task ever
-    sorts a hot token's full fan-in). A hot token ('john' across 1M
-    person labels) contributes no phrase selectivity — tier-1 joins
-    only each keyword's rarest token — but its uncapped fan-in would
-    quadratically fan out the tier-2 AND join. Capping (rather than
-    dropping, the pre-round-3 behavior) keeps a keyword findable even
-    when EVERY one of its tokens is hot, while still bounding every
-    downstream token join at max_candidates_per_token rows per key —
-    no hot-key salting needed. The capped-token list is collected to
-    the driver (it is small by construction: distinct tokens above the
-    ceiling) and embedded as an isin literal, so nothing stays
-    persisted after the build. When the batch-mode caller reuses this
-    guard after filtering to search_preds, a token hot on the
-    any-predicate index but cold under the restricted predicates is
-    capped unnecessarily — but never dropped to zero (the pre-round-3
-    recall edge)."""
+    """The UNCAPPED inverted index (tok, cand, p, norm_o) over distinct
+    tokens of target literal values — build step only; callers apply
+    `apply_hot_token_cap` (directly, or re-apply it after restricting
+    `p`, so the cap always reflects the fan-out of the index actually
+    joined)."""
     lits = target.filter(~F.col("o_is_uri") & ~F.col("is_bnode"))
     if search_predicates is not None:
         lits = lits.filter(F.col("p").isin(search_predicates))
@@ -140,7 +131,7 @@ def build_token_index(
             lits["s"] == redirect_subjects["cand"],
             "left_anti",
         )
-    idx = (
+    return (
         lits.select(
             F.col("s").alias("cand"),
             "p",
@@ -149,12 +140,33 @@ def build_token_index(
         .withColumn("tok", F.explode(F.array_distinct(norm_tokens("norm_o"))))
         .distinct()
     )
-    if mat is not None:
-        # materialize the RAW index first so the hot-token frequency
-        # scan below reads the checkpointed frame instead of re-running
-        # the whole build (one full-plan job instead of two); the
-        # anti-join stays lazy over the materialized frame.
-        idx = mat(idx)
+
+
+def apply_hot_token_cap(idx: DataFrame, cfg: SerimiConfig) -> DataFrame:
+    """Skew guard over an inverted index: tokens whose fan-out exceeds
+    cfg.max_candidates_per_token are CAPPED to a deterministic sample
+    of that many rows (the cap smallest (cand, p, norm_o) triples,
+    chosen by a two-level truncating aggregate so no single task ever
+    sorts a hot token's full fan-in). A hot token ('john' across 1M
+    person labels) contributes no phrase selectivity — tier-1 joins
+    only each keyword's rarest token — but its uncapped fan-in would
+    quadratically fan out the tier-2 AND join. Capping (rather than
+    dropping, the pre-round-3 behavior) keeps a keyword findable even
+    when EVERY one of its tokens is hot, while still bounding every
+    downstream token join at max_candidates_per_token rows per key —
+    no hot-key salting needed.
+
+    The fan-out scan runs on `idx` AS GIVEN: callers that restrict the
+    index to the learned search predicates re-apply this cap on the
+    RESTRICTED frame (matcher.py), so a token hot on the any-predicate
+    index but cold under the searched predicates is never capped — the
+    round-3 half-closure of this guard.
+
+    Membership: the hot set is small by construction (distinct tokens
+    above the ceiling), so it collects to the driver for the cap
+    decision; it is applied as an isin() literal up to
+    HOT_LIST_ISIN_MAX tokens and as a broadcast semi/anti join beyond
+    that (plan stays bounded however low the ceiling is set)."""
     cap = cfg.max_candidates_per_token
     hot_list = [
         r.tok
@@ -167,23 +179,33 @@ def build_token_index(
     if not hot_list:
         return idx
     log.warning(
-        "build_token_index: capping %d hot tokens with fan-out > %d "
+        "apply_hot_token_cap: capping %d hot tokens with fan-out > %d "
         "to a deterministic %d-row sample each (bounded-fan-out skew "
         "guard)",
         len(hot_list),
         cap,
         cap,
     )
-    is_hot = F.col("tok").isin(hot_list)
-    cold = idx.filter(~is_hot)
+    if len(hot_list) <= HOT_LIST_ISIN_MAX:
+        is_hot = F.col("tok").isin(hot_list)
+        cold = idx.filter(~is_hot)
+        hot = idx.filter(is_hot)
+    else:
+        hot_df = F.broadcast(
+            idx.sparkSession.createDataFrame(
+                [(t,) for t in hot_list], "tok string"
+            )
+        )
+        cols = idx.columns  # USING-join reorders tok first; restore
+        cold = idx.join(hot_df, "tok", "left_anti").select(*cols)
+        hot = idx.join(hot_df, "tok", "left_semi").select(*cols)
     # two-level truncating top-k (same shape as similarity._partial_topk):
     # level 1 truncates per (tok, input partition) map-side, so the
     # shuffle carries at most cap rows per partition per hot token;
     # level 2 merges to the final deterministic cap-row sample.
     row = F.struct("cand", "p", "norm_o")
     local = (
-        idx.filter(is_hot)
-        .groupBy("tok", F.spark_partition_id().alias("part"))
+        hot.groupBy("tok", F.spark_partition_id().alias("part"))
         .agg(F.slice(F.sort_array(F.collect_list(row)), 1, cap).alias("top"))
         .select("tok", F.explode("top").alias("t"))
     )
@@ -201,6 +223,24 @@ def build_token_index(
         )
     )
     return cold.unionByName(capped)
+
+
+def build_token_index(
+    target: DataFrame,
+    search_predicates: list[str] | None,
+    cfg: SerimiConfig,
+    mat=None,
+) -> DataFrame:
+    """raw_token_index + apply_hot_token_cap in one call (the simple
+    entry point when no predicate restriction follows). `mat`
+    materializes the RAW index first so the hot-token frequency scan
+    reads the checkpointed frame instead of re-running the whole build
+    (one full-plan job instead of two); the cap stays lazy over the
+    materialized frame."""
+    idx = raw_token_index(target, search_predicates, cfg)
+    if mat is not None:
+        idx = mat(idx)
+    return apply_hot_token_cap(idx, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -385,6 +425,14 @@ def f11_passing(
     When textp is unknown (warm-up chunk) the length-ratio prune
     len(o) <= 3*len(kw) applies instead (search_module.rb:247-249).
     Scores are computed once per DISTINCT (kw, literal) pair.
+
+    The output carries ``found_p`` — a deterministic choice (min) of
+    the PASSING description triples' predicate per (kw, cand). This is
+    the reference's ``$found`` raw material (search_module.rb:252-260
+    sets it to the predicate of the last triple that passed filter());
+    "last" there follows nondeterministic describe order, so min() is
+    the deterministic pick inside the reference's ambiguity envelope.
+    The promotion fold uses it when cfg.promote_found_predicate is on.
     """
     cands = hits.select("cand").distinct()
     desc = target.join(cands, target["s"] == cands["cand"], "left_semi").filter(
@@ -396,7 +444,14 @@ def f11_passing(
     pairs = (
         hits.select("kw", "cand")
         .distinct()
-        .join(desc.select(F.col("s").alias("cand"), F.col("o").alias("lit")), "cand")
+        .join(
+            desc.select(
+                F.col("s").alias("cand"),
+                F.col("p").alias("desc_p"),
+                F.col("o").alias("lit"),
+            ),
+            "cand",
+        )
     )
     if textp is None:
         pairs = pairs.filter(F.length("lit") <= 3 * F.length("kw"))
@@ -417,8 +472,8 @@ def f11_passing(
     )
     passing = (
         pairs.join(scored_pairs, ["kw", "lit"], "left_semi")
-        .select("kw", "cand")
-        .distinct()
+        .groupBy("kw", "cand")
+        .agg(F.min("desc_p").alias("found_p"))
         .withColumn("passes", F.lit(True))
     )
     return hits.join(passing, ["kw", "cand"], "inner")

@@ -159,7 +159,20 @@ def ngram_jaccard_pairs(
                 len(hot_list),
                 max_shingle_df,
             )
-            sh = sh.filter(~F.col("sh").isin(hot_list))
+            from .candidates import HOT_LIST_ISIN_MAX
+
+            if len(hot_list) <= HOT_LIST_ISIN_MAX:
+                sh = sh.filter(~F.col("sh").isin(hot_list))
+            else:
+                # a low ceiling over a large corpus can flag many
+                # shingles — membership via broadcast anti-join keeps
+                # the plan/driver bounded (same trade as the token cap)
+                hot_df = F.broadcast(
+                    sh.sparkSession.createDataFrame(
+                        [(s,) for s in hot_list], "sh string"
+                    )
+                )
+                sh = sh.join(hot_df, "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")

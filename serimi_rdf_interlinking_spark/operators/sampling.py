@@ -68,10 +68,21 @@ def stratified_sample(
     """Keeps ~`fraction` of rows WITHIN EACH stratum, deterministically:
     the hash bucket is salted with the stratum value, so the kept set
     is stable per (stratum, key) and independent across strata — a
-    skew-free exact-SQL-mirrorable stand-in for sampleBy()."""
+    skew-free exact-SQL-mirrorable stand-in for sampleBy().
+
+    NULL semantics match the documented DuckDB oracle idiom
+    (``md5(stratum || '|' || key)``): F.concat propagates NULL like
+    SQL ``||`` (unlike concat_ws, which silently skips NULL inputs and
+    would sample null-stratum rows under an unintended key), so a row
+    with a NULL stratum or key hashes to NULL and is EXCLUDED from the
+    sample on both engines identically."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction {fraction} outside [0, 1]")
     b = _bucket(
-        F.concat_ws("|", F.col(strata_col).cast("string"), F.col(key_col).cast("string"))
+        F.concat(
+            F.col(strata_col).cast("string"),
+            F.lit("|"),
+            F.col(key_col).cast("string"),
+        )
     )
     return df.filter(b < int(round(fraction * _BUCKETS)))

@@ -34,6 +34,35 @@ def alignment_lines(alignments: DataFrame, fmt: str = "txt") -> DataFrame:
     return alignments.select(_line_expr(fmt).alias("value")).orderBy("value")
 
 
+TMP_SUFFIX = ".__append_tmp__"
+ASIDE_SUFFIX = ".__old__"
+
+
+def _recover_append_state(fs, jvm, path: str) -> None:
+    """Crash recovery for the append swap, run before any read of
+    `path`. Swap protocol invariants: tmp is only ever renamed into
+    place AFTER it is completely written, and the live dir is renamed
+    aside (not deleted) before tmp moves in — so at every crash point
+    either the live dir or a COMPLETE tmp exists:
+
+    * live missing + tmp present (crash between rename-aside and
+      rename-tmp): the tmp holds the full merged output — complete the
+      swap by renaming it into place;
+    * live present + tmp present (crash during the tmp write): the tmp
+      is possibly partial garbage — delete it;
+    * any leftover aside dir is a fully superseded copy — delete it.
+    """
+    live = jvm.org.apache.hadoop.fs.Path(path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + TMP_SUFFIX)
+    aside = jvm.org.apache.hadoop.fs.Path(path + ASIDE_SUFFIX)
+    if not fs.exists(live) and fs.exists(tmp):
+        fs.rename(tmp, live)
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    if fs.exists(aside):
+        fs.delete(aside, True)
+
+
 def write_alignments(
     alignments: DataFrame, path: str, fmt: str = "txt", mode: str = "overwrite"
 ) -> None:
@@ -45,16 +74,21 @@ def write_alignments(
     deduplicated, and the directory is swapped in place — so a resumed
     run that re-emits the same alignments yields byte-identical output
     instead of doubled lines (a raw file-append would duplicate). The
-    swap goes through the Hadoop FileSystem API, so it works on any
-    supported filesystem, not just local paths. For the per-chunk
-    scale path (replace exactly one chunk's partition on re-emit) see
-    write_alignments_by_chunk."""
+    swap is CRASH-SAFE: the old dir is renamed aside before the tmp
+    moves into place (never delete-then-rename, which strands the
+    merged data under a tmp name if the process dies between the two),
+    and `_recover_append_state` runs first so a rerun after any crash
+    point resumes from a consistent state. The swap goes through the
+    Hadoop FileSystem API, so it works on any supported filesystem,
+    not just local paths. For the per-chunk scale path (replace exactly
+    one chunk's partition on re-emit) see write_alignments_by_chunk."""
     lines = alignment_lines(alignments, fmt)
     spark = alignments.sparkSession
     if mode == "append":
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        _recover_append_state(fs, jvm, path)
         if fs.exists(hpath):
             merged = (
                 spark.read.text(path)
@@ -62,10 +96,12 @@ def write_alignments(
                 .distinct()
                 .orderBy("value")
             )
-            tmp = jvm.org.apache.hadoop.fs.Path(path + ".__append_tmp__")
+            tmp = jvm.org.apache.hadoop.fs.Path(path + TMP_SUFFIX)
+            aside = jvm.org.apache.hadoop.fs.Path(path + ASIDE_SUFFIX)
             merged.coalesce(1).write.mode("overwrite").text(str(tmp))
-            fs.delete(hpath, True)
+            fs.rename(hpath, aside)
             fs.rename(tmp, hpath)
+            fs.delete(aside, True)
             return
     elif mode != "overwrite":
         raise ValueError(f"unknown write mode {mode!r}")
