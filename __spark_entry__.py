@@ -756,17 +756,57 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized pandas-UDF (numpy GEMM) exact top-k — the BLAS scale
-    path. Rows-only: BLAS float summation order differs from the
-    sequential SQL fold in the last ulps, so the 6-dp value hash is not
-    comparable; neighbor-set parity vs cosine_topk is asserted in
-    pytest and the full result is pinned by row-hash."""
+    path. The driver row verifies the NEIGHBOR SETS against the exact
+    SQL top-k (ids per query): BLAS float summation order differs from
+    the sequential SQL fold in the last ulps, so the cos VALUES can't
+    hash-match — they are dropped from this projection (cosine_topk
+    verifies the values; pytest pins the full GEMM output by row-hash
+    and asserts set parity)."""
     from serimi_rdf_interlinking_spark.operators.similarity import (
         cosine_topk_gemm,
     )
 
     embs = _read(spark, sf_dir, "embeddings")
     queries = embs.filter(F.col("vec_id") < 8)
-    return cosine_topk_gemm(embs, queries, k=5)
+    return (
+        cosine_topk_gemm(embs, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
+def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-layer parity as a first-class correctness row: the
+    documents table replayed through the Structured Streaming exact
+    dedup (dropDuplicatesWithinWatermark, Trigger.AvailableNow) into a
+    parquet sink, then diffed against the batch dedup semantics by KEY
+    SET — the surviving md5(normalized text) keys are exactly the
+    distinct batch keys, each kept once. A constant event time keeps
+    every duplicate inside one watermark horizon, so the streaming
+    result must equal global batch dedup (state never evicts
+    mid-stream); which physical row survives per key is
+    batch-arrival-dependent, so the key set (not the row ids) is the
+    engine-portable invariant."""
+    import tempfile
+
+    from serimi_rdf_interlinking_spark.streaming.ingest import (
+        stream_dedup_exact,
+    )
+
+    base = tempfile.mkdtemp(prefix="serimi_stream_dedup_")
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_600_000_000))
+    )
+    docs.write.mode("overwrite").parquet(f"{base}/in")
+    q = stream_dedup_exact(
+        spark, f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{base}/out")
+        .select("dedup_key")
+        .orderBy("dedup_key")
+    )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -793,23 +833,35 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serimi_rdf_interlinking_spark.multimodal import (
         MEDIA_SCHEMA,
         decode_and_featurize,
+        synth_png,
         synth_ppm,
         synth_wav,
     )
 
     rows = []
     for i in range(64):
-        if i % 2 == 0:
+        if i % 3 == 0:
             w, h = 4 + i % 5, 3 + i % 4
             rows.append(
                 (f"img{i:02d}", "image", synth_ppm(w, h, seed=1000 + i),
                  "image/x-portable-pixmap", w, h, None)
             )
-        else:
+        elif i % 3 == 1:
             n = 200 + i * 7
             rows.append(
                 (f"aud{i:02d}", "audio", synth_wav(n, seed=1000 + i),
                  "audio/wav", None, None, n * 1000 // 8000)
+            )
+        else:
+            # real zlib PNG decode: rotate color types and all five
+            # scanline filters through the corpus
+            w, h = 5 + i % 4, 4 + i % 3
+            ct = 2 if i % 2 == 0 else 6
+            rows.append(
+                (f"png{i:02d}", "image",
+                 synth_png(w, h, seed=1000 + i, color_type=ct,
+                           filter_type=i % 5),
+                 "image/png", w, h, None)
             )
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = decode_and_featurize(media)
@@ -820,6 +872,60 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("feat", F.round("feat", 6))
         .orderBy("media_id", "feat_idx")
+    )
+
+
+def q_stream_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second streaming correctness row: the events table replayed
+    through the watermarked event-time tumbling-window aggregation
+    (AvailableNow) and diffed against the BATCH time_buckets oracle.
+
+    Append-mode windows only emit once the watermark passes them, so a
+    single far-future sentinel event rides along to push the final
+    watermark past every real window — making the streaming output
+    exactly the batch aggregate (completeness is the same property the
+    cross-batch pytest asserts; here it becomes a driver hash row).
+    The sentinel's own window stays unemitted (above watermark) and is
+    filtered defensively anyway. Buckets compare as epoch seconds —
+    timezone-representation-free on both engines."""
+    import tempfile
+
+    from serimi_rdf_interlinking_spark.streaming.ingest import (
+        stream_time_buckets,
+    )
+
+    base = tempfile.mkdtemp(prefix="serimi_stream_buckets_")
+    ev = _read(spark, sf_dir, "events")
+    flush_ts = (
+        ev.agg(F.max(F.unix_timestamp("ts")).alias("m")).collect()[0][0]
+        + 86_400
+    )
+    sentinel = ev.limit(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.timestamp_seconds(F.lit(flush_ts)).cast("timestamp_ntz").alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("").alias("props"),
+    )
+    ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(
+        f"{base}/in"
+    )
+    q = stream_time_buckets(
+        spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
+        window="5 minutes", watermark="10 minutes",
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{base}/out")
+        .filter(F.col("event_type") != "__flush__")
+        .select(
+            F.col("bucket_start").cast("long").alias("bucket"),
+            "event_type",
+            "n",
+            "v",
+        )
+        .orderBy("bucket", "event_type")
     )
 
 
@@ -967,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "cosine_topk_gemm": q_cosine_topk_gemm,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "stream_dedup_exact": q_stream_dedup_exact,
+        "stream_time_buckets": q_stream_time_buckets,
         "language_id": q_language_id,
         "media_features": q_media_features,
         "doc_split": q_doc_split,
@@ -987,6 +1095,33 @@ _NORM_SQL = "lower(trim(regexp_replace({col}, '[^A-Za-z0-9]+', ' ', 'g')))"
 _TOKS_SQL = (
     "list_filter(string_split(" + _NORM_SQL + ", ' '), x -> x <> '')"
 )
+
+
+def _oracle_pins() -> dict:
+    """Pinned expected-value tables for the two kernels ANSI SQL cannot
+    express (see tools/gen_oracle_pins.py for provenance + regen).
+    Loaded lazily so oracle_sql() stays import-cheap."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "serimi_rdf_interlinking_spark",
+        "data",
+        "oracle_pins.json",
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _dlit(x: float) -> str:
+    """Double literal whose DuckDB parse reproduces the exact binary
+    value (repr is the shortest correctly-rounding round-trip form)."""
+    return repr(float(x))
 
 
 # once-per-vector normalization, the SQL twin of similarity.unit_vec
@@ -1680,6 +1815,43 @@ SELECT query_id, neighbor_id, cos, rk FROM ranked
 WHERE rk <= 5 ORDER BY query_id, rk
 """
 
+    # GEMM set-level oracle: the exact SQL top-k projected to the
+    # neighbor-id sets (the cos values come from BLAS on the Spark side
+    # and are ulp-incomparable — see q_cosine_topk_gemm)
+    sql["cosine_topk_gemm"] = f"""
+WITH u AS (SELECT vec_id, {_UNIT_SQL} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.v), 6) AS cos
+  FROM q, u e WHERE q.query_id <> e.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id FROM ranked
+WHERE rk <= 5 ORDER BY query_id, neighbor_id
+"""
+
+    # streaming dedup parity: the surviving stream keys are exactly the
+    # distinct batch dedup keys (md5 over the same normalization)
+    sql["stream_dedup_exact"] = f"""
+SELECT DISTINCT md5({norm_doc}) AS dedup_key
+FROM documents ORDER BY dedup_key
+"""
+
+    # streaming windowed-agg parity: with the flush sentinel pushing
+    # the final watermark past every real window, the append-mode
+    # emissions equal the batch aggregate exactly (same SQL as
+    # time_buckets)
+    sql["stream_time_buckets"] = """
+SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS bucket, event_type,
+       count(*) AS n, round(sum(value), 4) AS v
+FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type
+"""
+
     sql["ann_lsh_topk"] = _ann_lsh_sql(dim=64, n_planes=3, k=5, max_query_id=8)
 
     sql["embedding_near_dup_srp"] = _embedding_near_dup_srp_sql(
@@ -1788,6 +1960,48 @@ sizes AS (
 SELECT a.doc_id, a.bin_id, a.n_tokens, s.bin_tokens
 FROM assigned a JOIN sizes s USING (bin_id)
 ORDER BY a.doc_id
+"""
+
+    # T7 advanced_string_matching: the composite kernel (soundex gate +
+    # token-expansion Jaro ensemble, matching_module.rb:281-335) is not
+    # ANSI-SQL-expressible, so the ORACLE side is the relational
+    # skeleton (cross join + id filter + ordering) over a pinned
+    # kernel-score function table: every distinct part-name pair's
+    # score precomputed by the SAME Spark expression the query runs
+    # (F.round(asm_udf, 6); tools/gen_oracle_pins.py) and verified
+    # against reference vectors in tests/test_kernels.py. A pair
+    # missing from the pins drops the row via the inner join, so a
+    # stale pin fails the row-count gate loudly.
+    pins = _oracle_pins()
+    asm_vals = ",\n  ".join(
+        f"('{_sq(na)}', '{_sq(nb)}', {_dlit(v)})"
+        for na, nb, v in pins["asm_part_pairs"]
+    )
+    sql["advanced_string_matching"] = f"""
+WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 20),
+pins(na, nb, asm) AS (VALUES
+  {asm_vals})
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, pins.asm::DOUBLE AS asm
+FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+JOIN pins ON pins.na = a.p_name AND pins.nb = b.p_name
+ORDER BY id_a, id_b
+"""
+
+    # flagship e2e matcher: the deterministic fixture (seed 7) makes
+    # the expected 28 alignments computable once and pinnable — the
+    # reference's own gold-alignment discipline (util/file4.rb:48-140)
+    # applied to the driver gate. The driver diffs rows+schema+hash
+    # against this table every round; the scores are the matcher's raw
+    # doubles (repr literals parse back bit-identical).
+    align_vals = ",\n  ".join(
+        f"('{_sq(s)}', '{_sq(t)}', {_dlit(v)})"
+        for s, t, v in pins["serimi_alignment"]
+    )
+    sql["serimi_alignment"] = f"""
+SELECT source, target, score::DOUBLE AS score
+FROM (VALUES
+  {align_vals}) t(source, target, score)
+ORDER BY source, target
 """
 
     sql["fingerprint"] = f"""

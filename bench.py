@@ -4,9 +4,15 @@
 Prints ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-value = total wall-clock over the headline set (lower is better).
-Each query is forced with a count() (full plan execution, no result
-materialization to the driver).
+value = total wall-clock over the headline set (lower is better),
+summing each query's BEST-OF-2 consecutive runs in one JVM after a
+warmup action. Protocol rationale (round-3 verdict #4): a single cold
+pass made the first query absorb all JVM/codegen warmup (8.6s reported
+for a three-aggregation plan) and let co-tenant CPU spikes poison
+individual timings (2-3x phantom "regressions" that an isolated rerun
+erased) — min-of-2 keeps transient spikes out of the recorded number,
+so round-over-round deltas are signal. Each run forces the full plan
+(row count + value hash), no driver materialization.
 """
 
 from __future__ import annotations
@@ -42,6 +48,8 @@ HEADLINE = [
     "time_buckets",
     # training-data ops
     "dedup_exact",
+    "stream_dedup_exact",
+    "stream_time_buckets",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "simhash",
@@ -94,17 +102,33 @@ def main() -> None:
         return int(row.n)
 
     qs = entry_mod.queries()
+
+    # warmup: spin up the executor pool, parquet footer reads, codegen
+    # and the Python-worker pool BEFORE any timed run — a cheap
+    # multi-table action plus one pandas-UDF plan so neither JVM JIT
+    # nor Arrow worker startup lands on the first timed query
+    t0 = time.time()
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    force(qs["language_id"](spark, sf_dir).limit(100))
+    print(
+        f"# warmup: {round(time.time() - t0, 3)}s", file=sys.stderr, flush=True
+    )
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = force(df)
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr, flush=True)
+        best, n = None, 0
+        for _attempt in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = force(df)
+            dt = round(time.time() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        timings[name] = best
+        total += best
+        print(f"# {name}: {best}s ({n} rows)", file=sys.stderr, flush=True)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {

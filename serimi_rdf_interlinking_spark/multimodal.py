@@ -4,14 +4,16 @@ Image/audio/video travel as `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 mapInPandas stages.
 
-Decode support (round 3): UNCOMPRESSED formats decode for real with
-numpy alone — PPM (P6) images and PCM16 WAV audio — including nearest-
-neighbor resize and per-channel/signal features, all tested against
-numpy references. COMPRESSED formats (JPEG/PNG/MP3/MP4) genuinely need
-codec libraries absent from this container and raise
+Decode support: UNCOMPRESSED formats decode for real with numpy alone
+— PPM (P6) images and PCM16 WAV audio (round 3) — and PNG decodes for
+real through stdlib zlib (round 4: 8-bit gray/gray+alpha/RGB/RGBA,
+all five scanline filters, non-interlaced), including nearest-neighbor
+resize and per-channel/signal features, all tested against numpy
+references. Codec formats genuinely needing libraries absent from this
+container (JPEG/MP3/MP4, palette/16-bit/interlaced PNG) raise
 NotImplementedError with a clear message; `fake_decode=True` keeps the
-deterministic byte-level fake for plumbing tests. Real codec decoders
-drop into `_DECODERS` without touching the Spark plumbing.
+deterministic byte-level fake for plumbing tests. Further real codec
+decoders drop into `_decode_real` without touching the Spark plumbing.
 """
 
 from __future__ import annotations
@@ -76,6 +78,168 @@ def synth_wav(n: int, rate: int = 8000, channels: int = 1, seed: int = 0) -> byt
         + b"data" + len(data).to_bytes(4, "little") + data
     )
     return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def synth_png(
+    w: int,
+    h: int,
+    seed: int = 0,
+    color_type: int = 2,
+    filter_type: int = 0,
+) -> bytes:
+    """Deterministic synthetic PNG payload (seeded numpy pixels,
+    stdlib-zlib IDAT). `filter_type` applies one scanline filter
+    (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) to every row — used by
+    tests to exercise each unfilter path of decode_png."""
+    import struct
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    stride = w * ch
+    raw = bytearray()
+    prev = np.zeros(stride, np.uint16)
+    for y in range(h):
+        line = img[y].reshape(stride).astype(np.uint16)
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, np.uint16), line[:-ch]])
+            filt = (line - left) % 256
+        elif filter_type == 2:  # Up
+            filt = (line - prev) % 256
+        elif filter_type == 3:  # Average
+            left = np.concatenate([np.zeros(ch, np.uint16), line[:-ch]])
+            filt = (line - (left + prev) // 2) % 256
+        elif filter_type == 4:  # Paeth
+            left = np.concatenate([np.zeros(ch, np.uint16), line[:-ch]])
+            ul = np.concatenate([np.zeros(ch, np.uint16), prev[:-ch]])
+            p = left.astype(np.int32) + prev.astype(np.int32) - ul.astype(np.int32)
+            pa, pb, pc = (
+                np.abs(p - left.astype(np.int32)),
+                np.abs(p - prev.astype(np.int32)),
+                np.abs(p - ul.astype(np.int32)),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = (line - pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {filter_type}")
+        raw.append(filter_type)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> uint8 array (h, w, channels), pure stdlib zlib + numpy.
+
+    Supports the dominant web profile: 8-bit depth, color types
+    0/2/4/6 (gray, RGB, gray+alpha, RGBA), non-interlaced, all five
+    scanline filters. Palette (3), 16-bit and Adam7-interlaced images
+    raise NotImplementedError — the honest boundary without a codec
+    library. Sub/Up unfilter vectorize (per-channel prefix sum / row
+    add); Average/Paeth recur on the reconstructed left neighbor, so
+    they walk pixels within the row (rows still parallelize across
+    the corpus via mapInPandas — the batch axis is documents, not
+    pixels)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, header = 8, bytearray(), None
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            header = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if header is None:
+        raise ValueError("missing IHDR chunk")
+    w, h, depth, color, _comp, _filt, interlace = header
+    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG profile (depth={depth}, color_type={color}, "
+            f"interlace={interlace}) needs a codec library; supported "
+            "here: 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    off = 0
+    for y in range(h):
+        ft = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
+        off += stride + 1
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: per-channel prefix sum
+            line = (
+                np.cumsum(line.reshape(w, ch), axis=0, dtype=np.uint32) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up
+            line = (line.astype(np.uint16) + prev) % 256
+            line = line.astype(np.uint8)
+        elif ft == 3:  # Average
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                left = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (int(line[x]) + (left + int(prev[x])) // 2) % 256
+            line = rec
+        elif ft == 4:  # Paeth
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec[x] = (int(line[x]) + pred) % 256
+            line = rec
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y] = line
+        prev = line
+    return out.reshape(h, w, ch)
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
@@ -171,12 +335,14 @@ def _audio_features(samples: np.ndarray, rate: int, dim: int) -> list[float]:
 def _decode_real(payload: bytes, mime: str | None, dim: int) -> list[float]:
     if mime == "image/x-portable-pixmap":
         return _image_features(decode_ppm(payload), dim)
+    if mime == "image/png":
+        return _image_features(decode_png(payload), dim)
     if mime in ("audio/wav", "audio/x-wav"):
         return _audio_features(*decode_wav_pcm16(payload), dim)
     raise NotImplementedError(
         f"decoding mime {mime!r} requires codec libraries not present in "
-        "this environment (uncompressed PPM/WAV decode natively; run "
-        "with fake_decode=True for the deterministic byte-level fake)"
+        "this environment (PPM/PNG/WAV decode natively; run with "
+        "fake_decode=True for the deterministic byte-level fake)"
     )
 
 

@@ -10,16 +10,14 @@ def test_registry_shape():
     assert len(qs) >= 30
     # every oracle belongs to a registered query
     assert set(oracles).issubset(set(qs))
-    # the deliberately rows-only entries (non-SQL-expressible kernels;
-    # ann_lsh_topk graduated to a full SQL oracle in round 3,
-    # media_features is binary codec decode)
+    # the deliberately rows-only entries. Round-4 closures:
+    # serimi_alignment + advanced_string_matching gained pinned
+    # expected-value oracles (tools/gen_oracle_pins.py),
+    # cosine_topk_gemm a neighbor-set oracle. media_features stays
+    # rows-only — binary codec decode is not SQL-expressible; its
+    # values are pinned by row-hash instead.
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "serimi_alignment",
-        "advanced_string_matching",
-        "media_features",
-        "cosine_topk_gemm",
-    }
+    assert rows_only == {"media_features"}
 
 
 def test_entry_smoke(spark):

@@ -57,6 +57,68 @@ def test_decode_wav_roundtrip():
         decode_wav_pcm16(b"OggS" + b"\x00" * 40)
 
 
+def test_decode_png_roundtrip_all_filters_and_colors():
+    """decode_png must invert every scanline filter for every supported
+    color type; synth_png encodes the same seeded pixels under each
+    filter, so all five payloads decode to one identical raster."""
+    from serimi_rdf_interlinking_spark.multimodal import decode_png, synth_png
+
+    for ct in (0, 2, 4, 6):
+        rasters = [
+            decode_png(synth_png(9, 6, seed=42, color_type=ct, filter_type=f))
+            for f in range(5)
+        ]
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+        assert rasters[0].shape == (6, 9, ch)
+        for r in rasters[1:]:
+            assert np.array_equal(r, rasters[0])
+        # and the pixels are the seeded ones, not merely self-consistent
+        rng = np.random.RandomState(42)
+        want = rng.randint(0, 256, size=(6, 9, ch)).astype(np.uint8)
+        assert np.array_equal(rasters[0], want)
+
+
+def test_decode_png_rejects_unsupported_profiles():
+    import struct
+    import zlib
+
+    from serimi_rdf_interlinking_spark.multimodal import (
+        _PNG_MAGIC,
+        _png_chunk,
+        decode_png,
+    )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a" + b"\x00" * 10)
+    # palette color type (3) needs a PLTE decoder — honest boundary
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    payload = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="color_type=3"):
+        decode_png(payload)
+
+
+def test_png_decodes_in_spark_stage(spark):
+    from serimi_rdf_interlinking_spark.multimodal import (
+        MEDIA_SCHEMA,
+        _image_features,
+        decode_and_featurize,
+        decode_png,
+        synth_png,
+    )
+
+    png = synth_png(8, 5, seed=9, color_type=6, filter_type=4)
+    media = spark.createDataFrame(
+        [("p1", "image", png, "image/png", 8, 5, None)], MEDIA_SCHEMA
+    )
+    (row,) = decode_and_featurize(media).collect()
+    assert row.feature == pytest.approx(_image_features(decode_png(png), 8))
+
+
 def test_resize_nearest_downsample():
     from serimi_rdf_interlinking_spark.multimodal import resize_nearest
 
