@@ -542,6 +542,81 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — the two-sided dimension topology the relational
+    set lacked: the SAME nation table joins twice under different
+    aliases (supplier nation vs customer nation), with the symmetric
+    two-nation filter applied across both sides and a year extraction
+    in the grouping key. Both nation dimensions broadcast; the
+    ship-date range pushes to the scan."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_0")
+        & (F.col("cust_nation") == "NATION_1")
+    ) | (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_0")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — distinct-count aggregation with an exclusion
+    anti-join: per (brand, size), how many DISTINCT suppliers ship such
+    parts, excluding a supplier denylist (negative account balance —
+    the complaint-supplier analogue; partsupp does not exist in this
+    schema, so lineitem supplies the part-supplier pairs). The part
+    dimension broadcasts; the denylist anti-join is a broadcast
+    NOT-IN."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    supp = _read(spark, sf_dir, "supplier")
+    excluded = supp.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(F.col("p_brand") != "Brand#1")
+        .join(F.broadcast(excluded), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1-style left-semi + left-anti joins: customers with/without
     orders per market segment."""
@@ -824,15 +899,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode as a first-class query: a deterministic
-    synthetic media table (seeded PPM images + PCM16 WAV audio, built
-    in-driver — no external data per the graft rules) through the
-    mapInPandas decode/feature stage with the REAL numpy decoders.
+    synthetic media table (seeded PPM + PNG + GIF images and PCM16 WAV
+    audio, built in-driver — no external data per the graft rules)
+    through the mapInPandas decode/feature stage with the REAL
+    library-free decoders (numpy PPM/WAV, stdlib-zlib PNG, from-scratch
+    LZW GIF).
     Rows-only: binary codec decode is not ANSI-SQL-expressible, so the
     driver records the weaker rows-only check; full-value determinism
     is pinned by tests/test_rows_only_pins.py."""
     from serimi_rdf_interlinking_spark.multimodal import (
         MEDIA_SCHEMA,
         decode_and_featurize,
+        synth_gif,
         synth_png,
         synth_ppm,
         synth_wav,
@@ -840,28 +918,36 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = []
     for i in range(64):
-        if i % 3 == 0:
+        if i % 4 == 0:
             w, h = 4 + i % 5, 3 + i % 4
             rows.append(
                 (f"img{i:02d}", "image", synth_ppm(w, h, seed=1000 + i),
                  "image/x-portable-pixmap", w, h, None)
             )
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             n = 200 + i * 7
             rows.append(
                 (f"aud{i:02d}", "audio", synth_wav(n, seed=1000 + i),
                  "audio/wav", None, None, n * 1000 // 8000)
             )
-        else:
+        elif i % 4 == 2:
             # real zlib PNG decode: rotate color types and all five
             # scanline filters through the corpus
             w, h = 5 + i % 4, 4 + i % 3
-            ct = 2 if i % 2 == 0 else 6
+            ct = 2 if (i // 4) % 2 == 0 else 6
             rows.append(
                 (f"png{i:02d}", "image",
                  synth_png(w, h, seed=1000 + i, color_type=ct,
                            filter_type=i % 5),
                  "image/png", w, h, None)
+            )
+        else:
+            # real LZW GIF decode (palette images)
+            w, h = 6 + i % 3, 4 + i % 4
+            rows.append(
+                (f"gif{i:02d}", "image",
+                 synth_gif(w, h, seed=1000 + i, n_colors=4 + i % 12),
+                 "image/gif", w, h, None)
             )
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = decode_and_featurize(media)
@@ -1057,6 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_quantiles": q_quantity_quantiles,
         "brand_revenue_share": q_brand_revenue_share,
         "small_quantity_revenue": q_small_quantity_revenue,
+        "nation_trade_volume": q_nation_trade_volume,
+        "part_supplier_diversity": q_part_supplier_diversity,
         "semi_anti_join": q_semi_anti_join,
         "running_window": q_running_window,
         "sessionize": q_sessionize,
@@ -1682,6 +1770,33 @@ SELECT count(*) AS n_small,
        round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
 FROM lineitem JOIN a USING (l_partkey)
 WHERE l_quantity < 0.2 * avg_qty
+"""
+
+    sql["nation_trade_volume"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND ((n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+    OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+    sql["part_supplier_diversity"] = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
 """
 
     sql["semi_anti_join"] = """

@@ -42,6 +42,8 @@ HEADLINE = [
     "priority_shipping_mix",
     "brand_revenue_share",
     "small_quantity_revenue",
+    "nation_trade_volume",
+    "part_supplier_diversity",
     "semi_anti_join",
     "running_window",
     "sessionize",

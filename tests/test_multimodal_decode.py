@@ -119,6 +119,66 @@ def test_png_decodes_in_spark_stage(spark):
     assert row.feature == pytest.approx(_image_features(decode_png(png), 8))
 
 
+def test_decode_gif_roundtrip_with_dict_growth():
+    """A 64x64 noise image forces the LZW table through multiple width
+    bumps (9->10->11 bits) — the encoder and decoder must stay in sync
+    through every bump and the KwKwK case."""
+    from serimi_rdf_interlinking_spark.multimodal import decode_gif, synth_gif
+
+    rng = np.random.RandomState(7)
+    payload = synth_gif(64, 64, seed=7, n_colors=8)
+    got = decode_gif(payload)
+    assert got.shape == (64, 64, 3)
+    # reproduce the seeded palette + indices synth_gif drew
+    palette = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+    idx = rng.randint(0, 8, size=(64, 64)).astype(np.uint8)
+    assert np.array_equal(got, palette[idx])
+
+
+def test_lzw_codec_kwkwk_and_clear():
+    """The KwKwK special case (code references the entry being built)
+    arises from runs like 'aaaa...'; clears mid-stream must reset the
+    table; both paths must roundtrip."""
+    from serimi_rdf_interlinking_spark.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    for pixels in (b"\x00" * 50, bytes([0, 1] * 30), bytes(range(4)) * 100):
+        enc = _lzw_encode_gif(2, pixels)
+        assert _lzw_decode_gif(2, enc, len(pixels)) == pixels
+
+
+def test_decode_gif_rejects_interlaced():
+    from serimi_rdf_interlinking_spark.multimodal import decode_gif, synth_gif
+
+    payload = bytearray(synth_gif(4, 4, seed=1, n_colors=4))
+    # image descriptor packed byte sits 9 bytes past the 0x2C marker
+    desc = payload.index(0x2C, 13)
+    payload[desc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(payload))
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"\x89PNG\r\n\x1a\n")
+
+
+def test_gif_decodes_in_spark_stage(spark):
+    from serimi_rdf_interlinking_spark.multimodal import (
+        MEDIA_SCHEMA,
+        _image_features,
+        decode_and_featurize,
+        decode_gif,
+        synth_gif,
+    )
+
+    gif = synth_gif(10, 6, seed=4, n_colors=16)
+    media = spark.createDataFrame(
+        [("g1", "image", gif, "image/gif", 10, 6, None)], MEDIA_SCHEMA
+    )
+    (row,) = decode_and_featurize(media).collect()
+    assert row.feature == pytest.approx(_image_features(decode_gif(gif), 8))
+
+
 def test_resize_nearest_downsample():
     from serimi_rdf_interlinking_spark.multimodal import resize_nearest
 

@@ -20,8 +20,9 @@ PINS = {
     "advanced_string_matching": "c52baee8e25943d17dcd9c773f24b18f",
     # real numpy PPM/WAV decode over the synthetic media table (r3);
     # repinned r4: the table gained real-zlib PNG rows (color types
-    # 2/6, all five scanline filters), so composition + hash changed
-    "media_features": "0dd9280da676e531c7b0dc7df394d57b",
+    # 2/6, all five scanline filters) and real-LZW GIF rows, so
+    # composition + hash changed
+    "media_features": "be370dfb196a03423bbb02fa56eef399",
 }
 
 # the GEMM driver row became set-verified against the exact SQL top-k
