@@ -5,15 +5,18 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 mapInPandas stages.
 
 Decode support: UNCOMPRESSED formats decode for real with numpy alone
-— PPM (P6) images and PCM16 WAV audio (round 3) — and the two dominant
-lossless web formats decode for real in round 4: PNG through stdlib
-zlib (8-bit gray/gray+alpha/RGB/RGBA, all five scanline filters,
-non-interlaced) and GIF through a from-scratch LZW codec (single
-frame, global/local color tables, extensions skipped), including
+— PPM (P6) images and PCM16 WAV audio (round 3) — and the three
+dominant web image formats decode for real in round 4: PNG through
+stdlib zlib (8-bit gray/gray+alpha/RGB/RGBA, all five scanline
+filters, non-interlaced), GIF through a from-scratch LZW codec
+(single frame, global/local color tables, extensions skipped) and
+baseline JPEG through a from-scratch T.81 sequential-DCT codec
+(`jpeg.py`: canonical Huffman, dequant + orthonormal IDCT, YCbCr,
+4:4:4/4:2:2/4:2:0 sampling, restart intervals), including
 nearest-neighbor resize and per-channel/signal features, all tested
-against numpy references. Codec formats genuinely needing libraries
-absent from this container (JPEG/MP3/MP4, palette/16-bit/interlaced
-PNG, interlaced GIF) raise
+against numpy references. Formats genuinely needing libraries absent
+from this container (MP3/MP4, progressive/arithmetic JPEG,
+palette/16-bit/interlaced PNG, interlaced GIF) raise
 NotImplementedError with a clear message; `fake_decode=True` keeps the
 deterministic byte-level fake for plumbing tests. Further real codec
 decoders drop into `_decode_real` without touching the Spark plumbing.
@@ -527,12 +530,16 @@ def _decode_real(payload: bytes, mime: str | None, dim: int) -> list[float]:
         return _image_features(decode_png(payload), dim)
     if mime == "image/gif":
         return _image_features(decode_gif(payload), dim)
+    if mime == "image/jpeg":
+        from .jpeg import decode_jpeg
+
+        return _image_features(decode_jpeg(payload), dim)
     if mime in ("audio/wav", "audio/x-wav"):
         return _audio_features(*decode_wav_pcm16(payload), dim)
     raise NotImplementedError(
         f"decoding mime {mime!r} requires codec libraries not present in "
-        "this environment (PPM/PNG/WAV decode natively; run with "
-        "fake_decode=True for the deterministic byte-level fake)"
+        "this environment (PPM/PNG/GIF/JPEG/WAV decode natively; run "
+        "with fake_decode=True for the deterministic byte-level fake)"
     )
 
 

@@ -56,10 +56,19 @@ def _recover_append_state(fs, jvm, path: str) -> None:
     tmp = jvm.org.apache.hadoop.fs.Path(path + TMP_SUFFIX)
     aside = jvm.org.apache.hadoop.fs.Path(path + ASIDE_SUFFIX)
     if not fs.exists(live) and fs.exists(tmp):
-        fs.rename(tmp, live)
+        # tmp is the ONLY complete copy here — Hadoop rename() signals
+        # failure by returning False (it rarely throws), and falling
+        # through to the deletes below would destroy that copy, so a
+        # failed restore aborts instead
+        if not fs.rename(tmp, live):
+            raise IOError(
+                f"append recovery: rename({tmp}, {live}) failed; "
+                "tmp holds the only complete copy — not deleting it"
+            )
     if fs.exists(tmp):
         fs.delete(tmp, True)
-    if fs.exists(aside):
+    # the aside copy is superseded ONLY once a live dir exists again
+    if fs.exists(aside) and fs.exists(live):
         fs.delete(aside, True)
 
 
@@ -99,8 +108,20 @@ def write_alignments(
             tmp = jvm.org.apache.hadoop.fs.Path(path + TMP_SUFFIX)
             aside = jvm.org.apache.hadoop.fs.Path(path + ASIDE_SUFFIX)
             merged.coalesce(1).write.mode("overwrite").text(str(tmp))
-            fs.rename(hpath, aside)
-            fs.rename(tmp, hpath)
+            # Hadoop rename() reports failure via its return value —
+            # every step checks it so no state both deletes the live
+            # copy and loses the merged tmp
+            if not fs.rename(hpath, aside):
+                raise IOError(
+                    f"append swap: rename({hpath}, {aside}) failed; "
+                    "live output left untouched"
+                )
+            if not fs.rename(tmp, hpath):
+                fs.rename(aside, hpath)  # restore the old live copy
+                raise IOError(
+                    f"append swap: rename({tmp}, {hpath}) failed; "
+                    "previous output restored"
+                )
             fs.delete(aside, True)
             return
     elif mode != "overwrite":

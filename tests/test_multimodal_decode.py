@@ -210,9 +210,10 @@ def test_real_decode_in_spark_stage(spark):
     )
     assert len(feats["aud1"].feature) == 8
     assert feats["aud1"].feature[0] > 0  # mean |amplitude| of random noise
-    # compressed formats still raise with a clear message
+    # formats still needing codec libraries raise with a clear message
+    # (image/jpeg graduated to the native baseline decoder in round 4)
     bad = spark.createDataFrame(
-        [("j", "image", b"\xff\xd8\xff", "image/jpeg", 1, 1, None)],
+        [("m", "audio", b"\xff\xfb\x90\x00", "audio/mpeg", None, None, 10)],
         MEDIA_SCHEMA,
     )
     with pytest.raises(Exception, match="codec libraries"):

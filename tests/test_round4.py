@@ -267,6 +267,48 @@ def test_promote_found_predicate_matches_reference_cascade(spark):
     assert matcher.final_search_order[0].rsplit("/", 1)[-1] == "alias"
 
 
+def test_pinned_oracle_doubles_are_bit_exact(spark, duck_con):
+    """The driver hashes materialized values STRICTLY — np.allclose
+    tolerance in the pytest gate must never hide a literal-parsing ulp
+    skew (bare decimal literals parse DECIMAL-first in DuckDB and the
+    ::DOUBLE cast double-rounds; _dlit therefore casts from a string).
+    This pins bit equality for every serimi_alignment score."""
+    import struct
+
+    import __spark_entry__ as E
+
+    sdf = (
+        E.queries()["serimi_alignment"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["source", "target"])
+        .reset_index(drop=True)
+    )
+    odf = (
+        duck_con.execute(E.oracle_sql()["serimi_alignment"])
+        .df()
+        .sort_values(["source", "target"])
+        .reset_index(drop=True)
+    )
+    assert list(sdf["source"]) == list(odf["source"])
+    assert list(sdf["target"]) == list(odf["target"])
+    for a, b in zip(sdf["score"], odf["score"]):
+        assert struct.pack("<d", a) == struct.pack("<d", b), (a, b)
+
+
+def test_stream_time_buckets_empty_events(spark, tmp_path):
+    """An empty events table must yield an empty result (the batch
+    aggregate is empty), not a TypeError from the sentinel math."""
+    import __spark_entry__ as E
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    spark.createDataFrame([], ev.schema).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = E.q_stream_time_buckets(spark, str(tmp_path))
+    assert out.count() == 0
+    assert out.columns == ["bucket", "event_type", "n", "v"]
+
+
 def test_ivf_lloyd_plan_is_dim_independent(spark):
     """At 512 dims the refinement plan must NOT carry one aggregate
     column per dimension (plan bloat / codegen overrun at 1k+ dims):

@@ -20,9 +20,10 @@ PINS = {
     "advanced_string_matching": "c52baee8e25943d17dcd9c773f24b18f",
     # real numpy PPM/WAV decode over the synthetic media table (r3);
     # repinned r4: the table gained real-zlib PNG rows (color types
-    # 2/6, all five scanline filters) and real-LZW GIF rows, so
-    # composition + hash changed
-    "media_features": "be370dfb196a03423bbb02fa56eef399",
+    # 2/6, all five scanline filters), real-LZW GIF rows and real
+    # baseline-JPEG rows (4:4:4/4:2:0/gray/restart), so composition +
+    # hash changed
+    "media_features": "c41df62e173a926009e43c307030f2a1",
 }
 
 # the GEMM driver row became set-verified against the exact SQL top-k
