@@ -1059,6 +1059,77 @@ def q_stream_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third streaming correctness row — the CUSTOM STATEFUL operator
+    (applyInPandasWithState, event-time timeouts) diffed against the
+    batch sessionize oracle.
+
+    Replay protocol: the events table lands time-ordered in one file
+    (so nothing is late for the watermark), then a second file adds one
+    far-future flush event PER USER — every real session gains a
+    closing successor and the watermark passes every real session end,
+    so the emitted sessions are EXACTLY the batch gap-rule sessions;
+    each user's flush-started session stays open and is never emitted.
+    Aggregating emitted sessions per user therefore reproduces the
+    batch (n_sessions, n_events) row for every user."""
+    import glob
+
+    from serimi_rdf_interlinking_spark.streaming.sessionize import (
+        stream_sessionize_event_time,
+    )
+
+    base = _stream_scratch("sessionize", sf_dir)
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    max_ts = ev.agg(F.max(F.unix_timestamp("ts")).alias("m")).collect()[0][0]
+    if max_ts is None:
+        return spark.createDataFrame(
+            [], "user_id long, n_sessions long, n_events long"
+        )
+    (
+        ev.repartition(1)
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(f"{base}/in")
+    )
+    first = set(glob.glob(f"{base}/in/*.parquet"))
+    flush = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.timestamp_seconds(F.lit(max_ts + 86_400)).alias("ts"),
+            "user_id",
+            F.lit("__flush__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
+        )
+    )
+    flush.coalesce(1).write.mode("append").parquet(f"{base}/in")
+    # the file stream orders batches by modification time: bump the
+    # flush file explicitly past the data file (os.utime beats the
+    # sleep-for-distinct-mtimes idiom — no wall-clock waste)
+    bump = max(os.path.getmtime(p) for p in first) + 2
+    for p in set(glob.glob(f"{base}/in/*.parquet")) - first:
+        os.utime(p, (bump, bump))
+    q = stream_sessionize_event_time(
+        spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
+        gap_seconds=3600.0, watermark_delay="10 minutes",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{base}/out")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/valid/test split counts per assigned split +
     a stratified (per-language-bucket) sample count — the reproducible
@@ -1207,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "stream_dedup_exact": q_stream_dedup_exact,
         "stream_time_buckets": q_stream_time_buckets,
+        "stream_sessionize": q_stream_sessionize,
         "language_id": q_language_id,
         "media_features": q_media_features,
         "doc_split": q_doc_split,
@@ -2013,6 +2085,21 @@ FROM documents ORDER BY dedup_key
 SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS bucket, event_type,
        count(*) AS n, round(sum(value), 4) AS v
 FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type
+"""
+
+    # custom-stateful-operator parity: with a per-user flush event
+    # closing every real session, the emitted sessions aggregate to
+    # the batch gap rule exactly (same SQL as sessionize)
+    sql["stream_sessionize"] = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN coalesce(epoch(ts) - epoch(lag(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)), 1000000000) > 3600
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
 """
 
     sql["ann_lsh_topk"] = _ann_lsh_sql(dim=64, n_planes=3, k=5, max_query_id=8)

@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_exact",
     "stream_dedup_exact",
     "stream_time_buckets",
+    "stream_sessionize",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "simhash",

@@ -775,9 +775,15 @@ class SerimiMatcher:
         # the predicate filter — never pre-filter rows that the
         # restriction would then discard.
         if search_preds:
-            index = apply_hot_token_cap(
-                index_raw.filter(F.col("p").isin(search_preds)), cfg
-            )
+            restricted = index_raw.filter(F.col("p").isin(search_preds))
+            if index_all is index_raw:
+                # the any-predicate pass found NO hot token (it returns
+                # its input unchanged then, hence the identity check),
+                # and a predicate-restricted subset can only have
+                # SMALLER per-token fan-outs — skip the second scan job
+                index = restricted
+            else:
+                index = apply_hot_token_cap(restricted, cfg)
             tiers = {p: i for i, p in enumerate(search_preds)}
         else:
             index, tiers = index_all, None  # fallback: nothing learned
