@@ -95,6 +95,29 @@ def test_q5_supplier_join_broadcasts_and_pushes_down(spark):
     assert "EqualTo(r_name,EUROPE)" in plan
 
 
+def test_q7_shape_broadcasts_both_nation_aliases(spark):
+    """nation_trade_volume joins the SAME dimension twice under
+    different aliases — both must broadcast, and the ship-date range
+    must reach the lineitem scan."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_nation_trade_volume(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3  # supp + n1 + n2
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q16_shape_anti_join_is_broadcast(spark):
+    """part_supplier_diversity's supplier denylist must apply as a
+    BROADCAST anti-join (a shuffled anti-join on the fact table would
+    move every lineitem row for a tiny denylist)."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_part_supplier_diversity(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # distinct-count aggregations partial-aggregate before the shuffle
+    assert "partial_count(distinct" in plan
+
+
 def test_semi_join_is_semi_in_plan(spark):
     cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
