@@ -64,6 +64,13 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     )
 
 
+def _probe_dim(embeddings: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row (0 for an empty
+    frame) — probed once so the pair-scoring dot can unroll."""
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    return int(first.d) if first is not None else 0
+
+
 def unit_vec(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     """Adds `out_col` = vec/|vec| (array<double>). Normalizing ONCE per
     vector moves the two norm computations out of the pairwise join:
@@ -155,8 +162,7 @@ def cosine_topk(
     the exact path is the one users benchmark first. Both sum
     left-to-right, so the rounded cosines are bit-identical."""
     if dim is None:
-        first = embeddings.select(F.size(vec_col).alias("d")).first()
-        dim = int(first.d) if first is not None else 0
+        dim = _probe_dim(embeddings, vec_col)
     # the query side broadcasts, so the scoring fan-out runs in the
     # corpus side's tasks — which inherit the scan partitioning; a
     # small single-file test input would serialize scoring behind one
@@ -292,8 +298,7 @@ def ann_ivf_topk(
        centroids and brute-force only those lists, then the truncating
        top-k merges. Recall vs cosine_topk is asserted in tests.
     Returns (query_id, neighbor_id, cos, rk)."""
-    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row.d) if dim_row is not None else 0
+    dim = _probe_dim(embeddings, vec_col)
     corpus = unit_vec(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"),
@@ -429,8 +434,7 @@ def ann_lsh_topk(
     each query scans 5/16 of the corpus on average instead of all of it;
     recall is measured in tests against cosine_topk."""
     if dim is None:
-        first = embeddings.select(F.size(vec_col).alias("d")).first()
-        dim = int(first.d)
+        dim = _probe_dim(embeddings, vec_col)
     planes = _hyperplanes(dim, n_planes)
     # buckets from the RAW vectors (sign is scale-invariant, and the
     # oracle computes them on the raw embedding); cosines from the

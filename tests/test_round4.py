@@ -161,10 +161,9 @@ def test_hot_token_cap_recomputed_on_filtered_index(spark):
     restricted = apply_hot_token_cap(raw.filter(F.col("p") == "B"), cfg)
     # cold under B: full fan-out survives, nothing truncated
     assert restricted.filter("tok = 'zebra'").count() == 2
-    # the stale path (filter AFTER capping on the any-predicate index)
-    # would have kept at most 3 rows total and possibly zero B-rows
-    stale = capped_all.filter(F.col("p") == "B")
-    assert stale.filter("tok = 'zebra'").count() < 2 or True  # documentation
+    # (the stale path — filtering AFTER capping on the any-predicate
+    # index — kept at most 3 rows drawn across ALL predicates, so the
+    # B-rows could be truncated or dropped entirely)
 
 
 def test_hot_token_cap_broadcast_membership_path(spark, monkeypatch):
