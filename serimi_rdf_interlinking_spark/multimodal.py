@@ -523,7 +523,53 @@ def _audio_features(samples: np.ndarray, rate: int, dim: int) -> list[float]:
     return [float(v) for v in feats[:dim]] + [0.0] * max(0, dim - len(feats))
 
 
-def _decode_real(payload: bytes, mime: str | None, dim: int) -> list[float]:
+def audio_spectral_features(
+    samples: np.ndarray, rate: int, dim: int = 8
+) -> list[float]:
+    """FFT-based spectral descriptors (numpy.fft — library-free):
+    [spectral centroid Hz/Nyquist, 85% rolloff Hz/Nyquist, bandwidth
+    Hz/Nyquist, spectral flatness, zero-crossing rate, RMS, low-band
+    energy share (<1/8 Nyquist), duration-hours] — the standard compact
+    audio fingerprint for corpus-level filtering/dedup. Deterministic;
+    tested against analytically-known signals (a pure tone centroids at
+    its own frequency, white noise is spectrally flat)."""
+    x = samples.astype(np.float64) / 32768.0
+    mono = x.mean(axis=1) if x.ndim > 1 else x
+    n = len(mono)
+    if n == 0:
+        return [0.0] * dim
+    spec = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(n, d=1.0 / max(rate, 1))
+    nyq = max(rate, 1) / 2.0
+    power = spec**2
+    total = power.sum()
+    if total <= 0:
+        cent = roll = bw = flat = 0.0
+    else:
+        cent = float((freqs * power).sum() / total) / nyq
+        cum = np.cumsum(power)
+        roll = float(freqs[int(np.searchsorted(cum, 0.85 * total))]) / nyq
+        bw = float(
+            np.sqrt(((freqs - cent * nyq) ** 2 * power).sum() / total)
+        ) / nyq
+        # geometric/arithmetic mean ratio over the magnitude spectrum
+        nz = spec[spec > 0]
+        flat = float(
+            np.exp(np.mean(np.log(nz))) / np.mean(nz)
+        ) if len(nz) else 0.0
+    zc = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8)))))
+    rms = float(np.sqrt(np.mean(mono**2)))
+    low = float(power[freqs < nyq / 8].sum() / total) if total > 0 else 0.0
+    feats = [cent, roll, bw, flat, zc, rms, low, n / max(rate, 1) / 3600.0]
+    return [float(v) for v in feats[:dim]] + [0.0] * max(0, dim - len(feats))
+
+
+def _decode_real(
+    payload: bytes,
+    mime: str | None,
+    dim: int,
+    audio_spectral: bool = False,
+) -> list[float]:
     if mime == "image/x-portable-pixmap":
         return _image_features(decode_ppm(payload), dim)
     if mime == "image/png":
@@ -535,7 +581,10 @@ def _decode_real(payload: bytes, mime: str | None, dim: int) -> list[float]:
 
         return _image_features(decode_jpeg(payload), dim)
     if mime in ("audio/wav", "audio/x-wav"):
-        return _audio_features(*decode_wav_pcm16(payload), dim)
+        samples, rate = decode_wav_pcm16(payload)
+        if audio_spectral:
+            return audio_spectral_features(samples, rate, dim)
+        return _audio_features(samples, rate, dim)
     raise NotImplementedError(
         f"decoding mime {mime!r} requires codec libraries not present in "
         "this environment (PPM/PNG/GIF/JPEG/WAV decode natively; run "
@@ -544,12 +593,17 @@ def _decode_real(payload: bytes, mime: str | None, dim: int) -> list[float]:
 
 
 def decode_and_featurize(
-    media: DataFrame, fake_decode: bool = False, dim: int = 8
+    media: DataFrame,
+    fake_decode: bool = False,
+    dim: int = 8,
+    audio_spectral: bool = False,
 ) -> DataFrame:
     """mapInPandas decode/feature stage. Partition-parallel, no shuffle;
     batch shape: one pandas frame per Arrow batch with binary payloads.
-    Uncompressed PPM/WAV decode for real (numpy-only); compressed
-    formats raise until codec libraries are present."""
+    PPM/PNG/GIF/JPEG/WAV decode for real (see module docstring);
+    remaining codec formats raise until libraries are present.
+    `audio_spectral=True` swaps the time-domain audio summary for the
+    FFT descriptor set (audio_spectral_features)."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -557,7 +611,7 @@ def decode_and_featurize(
                 feats = [_fake_features(p, dim) for p in pdf["payload"]]
             else:
                 feats = [
-                    _decode_real(p, m, dim)
+                    _decode_real(p, m, dim, audio_spectral)
                     for p, m in zip(pdf["payload"], pdf["mime"])
                 ]
             yield pd.DataFrame(

@@ -179,6 +179,54 @@ def test_gif_decodes_in_spark_stage(spark):
     assert row.feature == pytest.approx(_image_features(decode_gif(gif), 8))
 
 
+def test_audio_spectral_features_match_known_signals():
+    """Analytic anchors: a pure tone's spectral centroid sits at its own
+    frequency; white noise is spectrally flat and a tone is not; a
+    low-frequency tone concentrates low-band energy."""
+    from serimi_rdf_interlinking_spark.multimodal import (
+        audio_spectral_features,
+    )
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    tone = (np.sin(2 * np.pi * 1000 * t / rate) * 20000).astype(np.int16)
+    feats = audio_spectral_features(tone[:, None], rate)
+    nyq = rate / 2
+    assert abs(feats[0] * nyq - 1000) < 20      # centroid ~ 1 kHz
+    assert abs(feats[1] * nyq - 1000) < 40      # rolloff ~ 1 kHz
+    assert feats[2] < 0.05                      # narrow bandwidth
+
+    rng = np.random.RandomState(0)
+    noise = (rng.randn(rate) * 8000).clip(-32767, 32767).astype(np.int16)
+    nf = audio_spectral_features(noise[:, None], rate)
+    assert nf[3] > 0.5 > feats[3]               # noise flat, tone not
+    assert abs(nf[0] - 0.5) < 0.05              # noise centroid ~ mid
+
+    low = (np.sin(2 * np.pi * 100 * t / rate) * 20000).astype(np.int16)
+    lf = audio_spectral_features(low[:, None], rate)
+    assert lf[6] > 0.99                          # low-band energy share
+    assert audio_spectral_features(np.zeros((0, 1), np.int16), rate) == [0.0] * 8
+
+
+def test_audio_spectral_in_spark_stage(spark):
+    from serimi_rdf_interlinking_spark.multimodal import (
+        MEDIA_SCHEMA,
+        audio_spectral_features,
+        decode_and_featurize,
+        decode_wav_pcm16,
+        synth_wav,
+    )
+
+    wav = synth_wav(800, rate=8000, seed=2)
+    media = spark.createDataFrame(
+        [("a1", "audio", wav, "audio/wav", None, None, 100)], MEDIA_SCHEMA
+    )
+    (row,) = decode_and_featurize(media, audio_spectral=True).collect()
+    assert row.feature == pytest.approx(
+        audio_spectral_features(*decode_wav_pcm16(wav))
+    )
+
+
 def test_resize_nearest_downsample():
     from serimi_rdf_interlinking_spark.multimodal import resize_nearest
 
