@@ -802,6 +802,44 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cluster canonical selection — the step AFTER dedup in a
+    training-data pipeline: for every near-dup cluster (LSH-verified
+    connected components) keep the highest-quality member, ties to the
+    smallest doc_id. One max_by-style struct aggregate per cluster (no
+    window over the corpus); the oracle composes the recursive-CTE
+    cluster oracle with the quality oracle and an argmax window."""
+    from serimi_rdf_interlinking_spark.operators.dedup import dedup_clusters
+    from serimi_rdf_interlinking_spark.operators.textstats import (
+        quality_score,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        docs, num_hashes=12, bands=4, verify_threshold=0.5
+    )
+    quality = quality_score(docs).select("doc_id", "quality")
+    return (
+        clusters.join(quality, "doc_id")
+        .groupBy("canonical_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality"), (-F.col("doc_id")).alias("nid")
+                )
+            ).alias("b"),
+            F.count("*").alias("cluster_size"),
+        )
+        .select(
+            "canonical_id",
+            (-F.col("b.nid")).alias("best_doc_id"),
+            F.col("b.quality").alias("best_quality"),
+            "cluster_size",
+        )
+        .orderBy("canonical_id")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serimi_rdf_interlinking_spark.operators.dedup import simhash
 
@@ -1269,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
         "simhash": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_srp": q_embedding_near_dup_srp,
@@ -2262,6 +2301,25 @@ WITH base AS (
 )
 SELECT doc_id, md5(norm) AS fp_exact, md5(bow) AS fp_bow
 FROM base ORDER BY doc_id
+"""
+
+    # canonical pick per near-dup cluster: the cluster and quality
+    # oracles compose as derived tables (hence assigned LAST); best
+    # member via argmax window
+    sql["dedup_canonical"] = f"""
+WITH j AS (
+  SELECT c.canonical_id, c.doc_id, q.quality
+  FROM ({sql["dedup_clusters"]}) c JOIN ({sql["quality_score"]}) q
+  USING (doc_id)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY canonical_id
+              ORDER BY quality DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY canonical_id) AS n
+  FROM j
+)
+SELECT canonical_id, doc_id AS best_doc_id, quality AS best_quality,
+       n AS cluster_size
+FROM ranked WHERE rk = 1 ORDER BY canonical_id
 """
 
     return sql

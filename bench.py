@@ -55,6 +55,7 @@ HEADLINE = [
     "stream_sessionize",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_canonical",
     "simhash",
     "embedding_near_dup_srp",
     "cosine_topk",
