@@ -8,6 +8,7 @@ kernels). Every computed column is aliased identically on both sides.
 
 from __future__ import annotations
 
+import atexit
 import os
 
 from collections.abc import Callable
@@ -28,22 +29,31 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _stream_scratch(query: str, sf_dir: str) -> str:
-    """Fixed per-(query, sf) scratch dir for the streaming replay rows,
-    WIPED on entry: a mkdtemp per invocation would leak a full input
-    copy + sink + checkpoint every run (bench's best-of-2 invokes each
-    query twice per round). The fixed path bounds disk use at one tree
-    per query/sf; the previous invocation's DataFrame has always been
-    materialized before the next call wipes the path."""
+    """Per-(query, sf, PROCESS) scratch dir for the streaming replay
+    rows, wiped on entry and removed at interpreter exit. The pid in
+    the path isolates concurrent drivers on the same host (a bench run
+    overlapping a correctness run must not wipe each other's in-flight
+    stream input/checkpoint/sink — round-4 advice); the wipe-on-entry
+    still bounds disk use at one tree per query/sf within a process
+    (bench's best-of-2 invokes each query twice), and the atexit sweep
+    reclaims the last tree when the process ends."""
     import shutil
     import tempfile
 
     tag = sf_dir.strip("/").replace("/", "_")
     base = os.path.join(
-        tempfile.gettempdir(), f"serimi_stream_{query}_{tag}"
+        tempfile.gettempdir(),
+        f"serimi_stream_{os.getpid()}_{query}_{tag}",
     )
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
+    if base not in _STREAM_SCRATCH_DIRS:
+        _STREAM_SCRATCH_DIRS.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
     return base
+
+
+_STREAM_SCRATCH_DIRS: set = set()
 
 
 # ---------------------------------------------------------------------------
@@ -969,9 +979,14 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the mapInPandas decode/feature stage with the REAL
     library-free decoders (numpy PPM/WAV, stdlib-zlib PNG, from-scratch
     LZW GIF).
-    Rows-only: binary codec decode is not ANSI-SQL-expressible, so the
-    driver records the weaker rows-only check; full-value determinism
-    is pinned by tests/test_rows_only_pins.py."""
+    Binary codec decode is not ANSI-SQL-*computable*, but the output IS
+    deterministic (seeded synth media + deterministic decoders), so the
+    oracle is the pinned expected-value table (tools/gen_oracle_pins.py
+    — the reference's own golden-expected-output discipline,
+    util/file4.rb:48-140). The pin verifies determinism + regression;
+    the independent correctness anchors are the per-codec decode tests
+    (tests/test_multimodal_decode.py, tests/test_jpeg.py), which must
+    be green before any regen is considered valid."""
     from serimi_rdf_interlinking_spark.multimodal import (
         MEDIA_SCHEMA,
         decode_and_featurize,
@@ -1038,7 +1053,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id", "kind", "n_bytes", "sha256",
             F.posexplode("feature").alias("feat_idx", "feat"),
         )
-        .withColumn("feat", F.round("feat", 6))
+        .withColumn("feat", F.round(F.col("feat").cast("double"), 6))
         .orderBy("media_id", "feat_idx")
     )
 
@@ -2291,6 +2306,24 @@ SELECT source, target, score::DOUBLE AS score
 FROM (VALUES
   {align_vals}) t(source, target, score)
 ORDER BY source, target
+"""
+
+    # media decode/featurize: the corpus is seeded + in-driver and the
+    # decoders deterministic, so the full 512 feature rows pin as a
+    # VALUES table (kills the last rows-only row — round-4 verdict #1).
+    # Regression/determinism gate only; independent correctness =
+    # per-codec decode tests (see tools/gen_oracle_pins.py caveat).
+    media_vals = ",\n  ".join(
+        f"('{_sq(mid)}', '{_sq(kind)}', {int(nb)}, '{sha}', {int(fi)}, "
+        f"{_dlit(fv)})"
+        for mid, kind, nb, sha, fi, fv in pins["media_features"]
+    )
+    sql["media_features"] = f"""
+SELECT media_id, kind, n_bytes::BIGINT AS n_bytes, sha256,
+       feat_idx::INTEGER AS feat_idx, feat::DOUBLE AS feat
+FROM (VALUES
+  {media_vals}) t(media_id, kind, n_bytes, sha256, feat_idx, feat)
+ORDER BY media_id, feat_idx
 """
 
     sql["fingerprint"] = f"""

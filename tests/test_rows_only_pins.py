@@ -1,7 +1,10 @@
-"""Regression pins for the three queries() entries WITHOUT a DuckDB
-oracle (the driver only row-counts them): full-result hashes at
-sf0.001. A hash change means the query's semantics moved — update the
-pin only with an explanation of what changed and why it is correct.
+"""Full-result regression pins at sf0.001. Every entry here now ALSO
+has a DuckDB oracle (round 5 closed the last rows-only row,
+media_features) — the pins stay as an independent regression tooth
+computed through a different code path (toPandas + md5 of sorted
+string rows) than the driver's compare. A hash change means the
+query's semantics moved — update the pin only with an explanation of
+what changed and why it is correct.
 """
 
 import hashlib
@@ -22,8 +25,11 @@ PINS = {
     # repinned r4: the table gained real-zlib PNG rows (color types
     # 2/6, all five scanline filters), real-LZW GIF rows and real
     # baseline-JPEG rows (4:4:4/4:2:0/gray/restart), so composition +
-    # hash changed
-    "media_features": "c41df62e173a926009e43c307030f2a1",
+    # hash changed. Round 5: media_features gained a full VALUES
+    # oracle (pinned feature rows, gen_oracle_pins.py) — the pin here
+    # stays as an extra regression tooth; repinned because feat is now
+    # cast to DOUBLE before rounding (dtype-stable oracle compare)
+    "media_features": "e13643d028c2303dfce6af3fbdd25fae",
 }
 
 # the GEMM driver row became set-verified against the exact SQL top-k
