@@ -118,6 +118,68 @@ def test_q16_shape_anti_join_is_broadcast(spark):
     assert "partial_count(distinct" in plan
 
 
+def _depth(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def _broadcast_hint_subtrees(df) -> list:
+    """Subtree text of every ResolvedHint node in the ANALYZED logical
+    plan (hints are erased by the optimizer, so the analyzed plan is
+    where a static hint is visible)."""
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+    subs = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" not in ln:
+            continue
+        d = _depth(ln)
+        sub = []
+        for nxt in lines[i + 1:]:
+            if _depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        subs.append("\n".join(sub))
+    return subs
+
+
+# key columns of the tables that grow linearly with the scale factor —
+# a static broadcast hint on an UNFILTERED scan of any of these forces
+# an executor-OOM broadcast at 100-TB SF and overrides AQE's
+# runtime-size decision (round-4 verdict 'What's wrong' #1)
+_SF_SCALING_KEYS = ("c_custkey", "s_suppkey", "p_partkey", "o_orderkey", "l_orderkey")
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "revenue_per_nation",
+        "local_supplier_volume",
+        "brand_revenue_share",
+        "nation_trade_volume",
+        "part_supplier_diversity",
+    ],
+)
+def test_no_static_broadcast_hint_on_sf_scaling_tables(spark, qname):
+    """Static F.broadcast hints are allowed only on genuinely bounded
+    dimensions (nation/region — fixed 25/5 rows at any SF) or on
+    FILTERED derived frames that are small by construction (the Q16
+    denylist). An unfiltered customer/supplier/part/orders/lineitem
+    scan under a hint is a 100-TB scale bug even when correct at test
+    scale."""
+    import __spark_entry__ as E
+
+    df = E.queries()[qname](spark, SF_DIR)
+    for sub in _broadcast_hint_subtrees(df):
+        if "Filter" in sub:
+            continue  # deliberately bounded derived frame
+        assert not any(k in sub for k in _SF_SCALING_KEYS), (
+            f"{qname}: static broadcast hint on an unfiltered "
+            f"SF-scaling table:\n{sub}"
+        )
+
+
 def test_semi_join_is_semi_in_plan(spark):
     cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
