@@ -401,22 +401,40 @@ def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentile aggregation (sort-based, deterministic): price
-    quartiles per return flag. Spark's percentile() and DuckDB's
-    quantile_cont() both interpolate linearly over the sorted values,
-    so the results compare exactly (unlike approx_percentile, whose
-    sketch is engine-specific)."""
-    li = _read(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
-            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
-            F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
-            F.round(F.max("l_extendedprice"), 4).alias("pmax"),
-        )
-        .orderBy("l_returnflag")
+    """EXACT price quartiles per return flag, scale-safely: Spark's
+    percentile() buffers every group value in one aggregation buffer
+    (billions of doubles per task at 100-TB lineitem), so this uses the
+    two-pass fixed-precision-bucketing selection instead
+    (operators/quantiles.py) — bucket-count histogram, cumulative walk
+    to locate the order-statistic buckets, exact value lookup inside
+    just those buckets, then the same (n-1)*p linear interpolation
+    percentile()/quantile_cont share. Bit-compatible with the
+    quantile_cont oracle; memory bounded by value-domain size, not row
+    count."""
+    from serimi_rdf_interlinking_spark.operators.quantiles import (
+        exact_grouped_percentiles,
     )
+
+    li = _read(spark, sf_dir, "lineitem")
+    res = exact_grouped_percentiles(
+        spark, li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75],
+        width=16.0,
+    )
+    rows = [
+        (g, v["ps"][0], v["ps"][1], v["ps"][2], v["max"])
+        for g, v in sorted(res.items())
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "l_returnflag string, p25 double, p50 double, p75 double, "
+        "pmax double",
+    )
+    # round via F.round (HALF_UP BigDecimal semantics — the exact
+    # rounding the oracle's round() matched under the old percentile()
+    # implementation)
+    for c in ("p25", "p50", "p75", "pmax"):
+        out = out.withColumn(c, F.round(c, 4))
+    return out.orderBy("l_returnflag")
 
 
 def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:

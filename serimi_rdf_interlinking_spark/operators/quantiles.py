@@ -1,0 +1,189 @@
+"""Scale-safe EXACT grouped percentiles.
+
+Spark's built-in ``percentile()`` is exact but buffers EVERY value of a
+group in a single aggregation buffer (ObjectHashAggregate) — with a
+handful of groups over a 100-TB fact table that is billions of doubles
+on single tasks, a spill/OOM machine (round-4 verdict 'What's wrong'
+#2). The sketch alternatives (approx_percentile) are engine-specific
+and break bit-comparability with the DuckDB ``quantile_cont`` oracle.
+
+This module computes the SAME bits with bounded memory, the classic
+two-pass fixed-precision-bucketing selection:
+
+pass 1  groupBy(group, floor(value/width)) -> (count, max) histogram.
+        One map-side-combined shuffle whose output cardinality is
+        bounded by groups x value-range/width — independent of row
+        count. The per-group cumulative walk over that bounded
+        histogram locates, for each requested percentile p, the
+        bucket(s) holding order statistics floor(pos) and floor(pos)+1
+        where pos = (n-1)*p (the shared definition of Spark
+        ``percentile`` and DuckDB ``quantile_cont``).
+pass 2  re-scan ONLY the located buckets (a pushed-down disjunction of
+        (group, bucket) literals — a vanishing fraction of the data)
+        and build the exact distinct-VALUE histogram inside them:
+        groupBy(group, value).count(). Cardinality is bounded by value
+        precision (e.g. cent-grained prices: <= 100·width distinct
+        values per located bucket). The needed order statistics fall
+        out of a second cumulative walk; linear interpolation uses
+        Spark Percentile.getPercentile's exact FP expression
+        ((higher-pos)*v0 + (pos-lower)*v1) for bit-parity.
+
+Both collected frames are aggregates bounded by VALUE-DOMAIN size, not
+data size; ``max_hist_rows`` raises loudly rather than silently
+degrading if a pathological value domain blows the bound (the
+union-find-cap discipline from dedup_clusters).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_MAX_HIST_ROWS = 2_000_000
+
+
+def _bucket(value_col: str, width: float):
+    return F.floor(F.col(value_col) / F.lit(float(width))).cast("long")
+
+
+def bucket_histogram(
+    df: DataFrame, group_col: str, value_col: str, width: float = 1.0
+) -> DataFrame:
+    """Pass-1 plan: the fixed-precision (count, max) bucket histogram.
+    Exposed for plan-shape tests — must stay a plain HashAggregate
+    (primitive buffers), never a full-value ObjectHashAggregate."""
+    return (
+        df.groupBy(
+            F.col(group_col).alias("g"),
+            _bucket(value_col, width).alias("b"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.max(value_col).alias("vmax"),
+        )
+    )
+
+
+def _locate(hist_rows, ps):
+    """Cumulative walk over one group's sorted bucket histogram:
+    for each percentile p return (pos, needed-ranks -> bucket)."""
+    n = sum(c for _, c, _ in hist_rows)
+    out = []
+    for p in ps:
+        pos = (n - 1) * p
+        k0 = int(math.floor(pos))
+        ranks = {k0}
+        if pos > k0 and k0 + 1 <= n - 1:
+            ranks.add(k0 + 1)
+        located = {}
+        cum = 0
+        it = iter(hist_rows)
+        for b, c, _ in it:
+            lo, hi = cum, cum + c - 1
+            for r in sorted(ranks):
+                if lo <= r <= hi:
+                    located[r] = b
+            cum += c
+        out.append((pos, located))
+    return n, out
+
+
+def exact_grouped_percentiles(
+    spark,
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[float],
+    width: float = 1.0,
+    max_hist_rows: int = DEFAULT_MAX_HIST_ROWS,
+) -> dict:
+    """Exact percentiles per group, bit-compatible with
+    percentile()/quantile_cont, without full-group value buffering.
+    Returns {group: {"n": n, "max": vmax, "ps": [value per p in ps]}}.
+    """
+    hist = bucket_histogram(df, group_col, value_col, width).collect()
+    if len(hist) > max_hist_rows:
+        raise RuntimeError(
+            f"exact_grouped_percentiles: bucket histogram has "
+            f"{len(hist)} rows (> {max_hist_rows}); widen `width` or "
+            "raise max_hist_rows — refusing to degrade silently"
+        )
+    by_group: dict = {}
+    for r in hist:
+        by_group.setdefault(r.g, []).append((r.b, r.cnt, r.vmax))
+    needed = {}  # group -> {bucket: {rank: None}}
+    plan = {}    # group -> (n, [(pos, {rank: bucket})])
+    for g, rows in by_group.items():
+        rows.sort(key=lambda t: t[0])
+        n, locs = _locate(rows, ps)
+        plan[g] = (n, locs)
+        for _, located in locs:
+            for rank, b in located.items():
+                needed.setdefault(g, set()).add(b)
+
+    # pass 2: exact value histogram inside the located buckets only
+    pred = None
+    for g, buckets in needed.items():
+        clause = (F.col(group_col) == F.lit(g)) & _bucket(
+            value_col, width
+        ).isin([int(b) for b in buckets])
+        pred = clause if pred is None else (pred | clause)
+    value_hist = (
+        df.filter(pred)
+        .groupBy(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("double").alias("v"),
+            _bucket(value_col, width).alias("b"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    if len(value_hist) > max_hist_rows:
+        raise RuntimeError(
+            "exact_grouped_percentiles: located-bucket value histogram "
+            f"has {len(value_hist)} rows (> {max_hist_rows})"
+        )
+    vals_by_gb: dict = {}
+    for r in value_hist:
+        vals_by_gb.setdefault((r.g, r.b), []).append((r.v, r.cnt))
+
+    out = {}
+    for g, rows in by_group.items():
+        n, locs = plan[g]
+        vmax = max(v for _, _, v in rows)
+        # rank -> exact value: walk the value histogram of the rank's
+        # bucket, offset by the cumulative count of preceding buckets
+        rank_val = {}
+        cum_before: dict = {}
+        cum = 0
+        for b, c, _ in rows:
+            cum_before[b] = cum
+            cum += c
+        for _, located in locs:
+            for rank, b in located.items():
+                if rank in rank_val:
+                    continue
+                local = rank - cum_before[b]
+                acc = 0
+                for v, c in sorted(vals_by_gb[(g, b)]):
+                    if acc <= local < acc + c:
+                        rank_val[rank] = v
+                        break
+                    acc += c
+        pvals = []
+        for pos, located in locs:
+            k0 = int(math.floor(pos))
+            k1 = int(math.ceil(pos))
+            if k1 == k0:
+                pvals.append(rank_val[k0])
+            else:
+                # Spark Percentile.getPercentile's exact FP expression
+                # ((higher-pos)*lower + (pos-lower)*higher), NOT the
+                # algebraically-equal v0 + frac*(v1-v0) — the two differ
+                # by an ulp on real data, and bit-parity with
+                # percentile()/quantile_cont is the contract
+                v0, v1 = rank_val[k0], rank_val[k1]
+                pvals.append((k1 - pos) * v0 + (pos - k0) * v1)
+        out[g] = {"n": n, "max": float(vmax), "ps": pvals}
+    return out
