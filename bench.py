@@ -53,6 +53,7 @@ HEADLINE = [
     "stream_dedup_exact",
     "stream_time_buckets",
     "stream_sessionize",
+    "stream_sessionize_ooo",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_canonical",
