@@ -808,14 +808,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serimi_rdf_interlinking_spark.operators.dedup import ngram_jaccard_pairs
 
-    # max_shingle_df mirrors the hot-shingle HAVING guard in the oracle
-    # SQL — the skew ceiling is part of the graded semantics, not a
-    # silent Spark-side cap.
+    # default "auto" ceiling (max(1000, 1% of corpus)) — active in the
+    # naive call and mirrored by the oracle's dynamic HAVING guard, so
+    # the skew ceiling is part of the graded semantics at every SF.
     return ngram_jaccard_pairs(
         _read(spark, sf_dir, "documents"),
         n=3,
         threshold=0.5,
-        max_shingle_df=1000,
     )
 
 
@@ -1719,15 +1718,18 @@ tokd AS (
 )"""
 
 
-def _ngram_pairs_sql(n: int, threshold: float, max_df: int | None = None) -> str:
+def _ngram_pairs_sql(
+    n: int, threshold: float, max_df: int | str | None = None
+) -> str:
     # max_df mirrors ngram_jaccard_pairs' hot-shingle ceiling: shingles
     # with document frequency above the cap are dropped on BOTH engines
-    # before sizes and the inverted self-join.
+    # before sizes and the inverted self-join. A string max_df is an
+    # SQL expression (the "auto" ceiling's scalar-subquery twin).
     kept = "shingled"
     hot_cte = ""
     if max_df is not None:
         hot_cte = f"""
-hot AS (SELECT sh FROM shingled GROUP BY sh HAVING count(*) > {max_df}),
+hot AS (SELECT sh FROM shingled GROUP BY sh HAVING count(*) > ({max_df})),
 kept AS (SELECT id, sh FROM shingled ANTI JOIN hot USING (sh)),"""
         kept = "kept"
     return f"""
@@ -2178,7 +2180,12 @@ FROM keyed JOIN canon ON keyed.k = canon.k
 ORDER BY keyed.doc_id
 """
 
-    sql["dedup_ngram_jaccard"] = _ngram_pairs_sql(3, 0.5, max_df=1000)
+    sql["dedup_ngram_jaccard"] = _ngram_pairs_sql(
+        3, 0.5,
+        # the Spark side's "auto" ceiling: max(1000, ceil(1% of corpus))
+        max_df="SELECT greatest(1000, CAST(ceil(0.01 * count(*)) AS "
+               "BIGINT)) FROM documents",
+    )
     sql["dedup_minhash_lsh"] = _minhash_lsh_sql(12, 4, 3, 0.5)
 
     # transitive closure over the LSH pair graph via a recursive CTE —

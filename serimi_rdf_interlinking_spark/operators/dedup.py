@@ -123,7 +123,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | str | None = "auto",
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard >= threshold.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
@@ -137,8 +137,23 @@ def ngram_jaccard_pairs(
     excluded from the per-doc sizes too, so Jaccard stays an exact
     set similarity over the kept shingle universe; the count of dropped
     shingles is logged (no silent caps). The hot set is tiny (df above
-    the ceiling), so it is broadcast for the anti-join."""
+    the ceiling), so it is broadcast for the anti-join.
+
+    The DEFAULT is ``"auto"`` = max(1000, ceil(0.01 * n_docs)) — the
+    naive call must not get the quadratic hot-shingle behavior the
+    guard exists to prevent (round-4 verdict #8). A shingle in >1% of
+    a large corpus is boilerplate, not near-dup signal. Pass an int to
+    set the ceiling explicitly, or None to disable the guard."""
     sh = _shingle_rows(docs, id_col, text_col, n)
+    if max_shingle_df == "auto":
+        import math as _math
+
+        n_docs = docs.count()
+        max_shingle_df = max(1000, _math.ceil(0.01 * n_docs))
+        log.info(
+            "ngram_jaccard_pairs: auto hot-shingle ceiling = %d "
+            "(n_docs=%d)", max_shingle_df, n_docs,
+        )
     if max_shingle_df is not None:
         # the hot set (df above the ceiling) is small by construction,
         # so collect it to the driver and embed as an isin literal —
