@@ -1041,10 +1041,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "audio/wav", None, None, n * 1000 // 8000)
             )
         elif i % 5 == 2:
-            # real zlib PNG decode: rotate color types and all five
-            # scanline filters through the corpus
+            # real zlib PNG decode: rotate color types (incl. 8-bit
+            # PALETTE since r5) and all five scanline filters
             w, h = 5 + i % 4, 4 + i % 3
-            ct = 2 if (i // 5) % 2 == 0 else 6
+            ct = (2, 6, 3)[(i // 5) % 3]
             rows.append(
                 (f"png{i:02d}", "image",
                  synth_png(w, h, seed=1000 + i, color_type=ct,
@@ -1052,11 +1052,13 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "image/png", w, h, None)
             )
         elif i % 5 == 3:
-            # real LZW GIF decode (palette images)
+            # real LZW GIF decode (palette images, every other one
+            # INTERLACED since r5)
             w, h = 6 + i % 3, 4 + i % 4
             rows.append(
                 (f"gif{i:02d}", "image",
-                 synth_gif(w, h, seed=1000 + i, n_colors=4 + i % 12),
+                 synth_gif(w, h, seed=1000 + i, n_colors=4 + i % 12,
+                           interlace=(i // 5) % 2 == 1),
                  "image/gif", w, h, None)
             )
         else:

@@ -192,6 +192,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker;
+        # skip them so externally-produced streams parse
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -252,6 +256,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if ns < len(frame["comps"]):
+                # legal baseline, but the scan loop below assumes one
+                # fully-interleaved scan — refuse clearly rather than
+                # KeyError/garbage (T.81 allows per-component scans)
+                raise NotImplementedError(
+                    "multi-scan baseline JPEG (scan has fewer "
+                    "components than the frame) needs a codec library"
+                )
             tables = {}
             for c in range(ns):
                 cs, td_ta = body[1 + 2 * c : 3 + 2 * c]
@@ -266,6 +278,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 def _decode_scan(payload, pos, frame, tables, qt, huff_dc, huff_ac, dri):
     h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if len(comps) == 1:
+        # T.81 A.2.2: a NON-interleaved scan is one 8x8 block per MCU —
+        # sampling factors order data only in interleaved scans, so a
+        # single-component frame decodes with effective 1x1 factors
+        comps = [{**comps[0], "h": 1, "v": 1}]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))

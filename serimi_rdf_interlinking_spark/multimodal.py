@@ -87,7 +87,9 @@ def synth_wav(n: int, rate: int = 8000, channels: int = 1, seed: int = 0) -> byt
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+# filter-unit channel counts: gray, RGB, PALETTE INDEX (1 byte/px),
+# gray+A, RGBA (RFC 2083 §4.1.2: type-3 scanlines filter over indices)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
@@ -108,17 +110,25 @@ def synth_png(
     seed: int = 0,
     color_type: int = 2,
     filter_type: int = 0,
+    n_colors: int = 16,
 ) -> bytes:
     """Deterministic synthetic PNG payload (seeded numpy pixels,
     stdlib-zlib IDAT). `filter_type` applies one scanline filter
     (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) to every row — used by
-    tests to exercise each unfilter path of decode_png."""
+    tests to exercise each unfilter path of decode_png. color_type=3
+    emits an indexed-color image with an `n_colors`-entry PLTE."""
     import struct
     import zlib
 
     ch = _PNG_CHANNELS[color_type]
     rng = np.random.RandomState(seed)
-    img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    plte = b""
+    if color_type == 3:
+        palette = rng.randint(0, 256, size=(n_colors, 3)).astype(np.uint8)
+        img = rng.randint(0, n_colors, size=(h, w, 1)).astype(np.uint8)
+        plte = _png_chunk(b"PLTE", palette.tobytes())
+    else:
+        img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
     stride = w * ch
     raw = bytearray()
     prev = np.zeros(stride, np.uint16)
@@ -156,6 +166,7 @@ def synth_png(
     return (
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
@@ -165,10 +176,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     """PNG -> uint8 array (h, w, channels), pure stdlib zlib + numpy.
 
     Supports the dominant web profile: 8-bit depth, color types
-    0/2/4/6 (gray, RGB, gray+alpha, RGBA), non-interlaced, all five
-    scanline filters. Palette (3), 16-bit and Adam7-interlaced images
-    raise NotImplementedError — the honest boundary without a codec
-    library. Sub/Up unfilter vectorize (per-channel prefix sum / row
+    0/2/3/4/6 (gray, RGB, 8-bit PALETTE via PLTE lookup — the
+    ubiquitous web-crawl variant, RFC 2083 §4.1.2 — gray+alpha, RGBA),
+    non-interlaced, all five scanline filters. 16-bit, sub-8-bit
+    palette and Adam7-interlaced images raise NotImplementedError —
+    the honest boundary without a codec library. Sub/Up unfilter vectorize (per-channel prefix sum / row
     add); Average/Paeth recur on the reconstructed left neighbor, so
     they walk pixels within the row (rows still parallelize across
     the corpus via mapInPandas — the batch axis is documents, not
@@ -178,12 +190,14 @@ def decode_png(payload: bytes) -> np.ndarray:
 
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload")
-    pos, idat, header = 8, bytearray(), None
+    pos, idat, header, plte = 8, bytearray(), None, None
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
         body = payload[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
             header = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -196,8 +210,11 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"PNG profile (depth={depth}, color_type={color}, "
             f"interlace={interlace}) needs a codec library; supported "
-            "here: 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced"
+            "here: 8-bit gray/gray+alpha/RGB/RGBA/palette, "
+            "non-interlaced"
         )
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without a PLTE chunk")
     ch = _PNG_CHANNELS[color]
     stride = w * ch
     raw = zlib.decompress(bytes(idat))
@@ -245,6 +262,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {ft}")
         out[y] = line
         prev = line
+    if color == 3:
+        if int(out.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[out.reshape(h, w)]
     return out.reshape(h, w, ch)
 
 
@@ -336,14 +357,31 @@ def _lzw_decode_gif(min_code: int, data: bytes, n_pixels: int) -> bytes:
     return bytes(out[:n_pixels])
 
 
-def synth_gif(w: int, h: int, seed: int = 0, n_colors: int = 8) -> bytes:
+def _gif_interlace_order(h: int) -> list[int]:
+    """Row transmission order of an interlaced GIF (GIF89a Appendix E):
+    pass 1 = rows 0,8,16…, pass 2 = 4,12…, pass 3 = 2,6,10…,
+    pass 4 = 1,3,5…"""
+    order: list[int] = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
+def synth_gif(
+    w: int, h: int, seed: int = 0, n_colors: int = 8,
+    interlace: bool = False,
+) -> bytes:
     """Deterministic synthetic GIF87a payload: seeded palette + indices
-    through the real LZW encoder, sub-blocked per the spec."""
+    through the real LZW encoder, sub-blocked per the spec.
+    `interlace=True` transmits rows in the four-pass Appendix-E order
+    with the image-descriptor interlace flag set."""
     rng = np.random.RandomState(seed)
     bits = max(1, int(np.ceil(np.log2(max(n_colors, 2)))))
     pal_n = 1 << bits
     palette = rng.randint(0, 256, size=(pal_n, 3)).astype(np.uint8)
     idx = rng.randint(0, n_colors, size=(h, w)).astype(np.uint8)
+    if interlace:
+        idx = idx[_gif_interlace_order(h)]
     min_code = max(2, bits)
     lzw = _lzw_encode_gif(min_code, idx.tobytes())
     blocks = bytearray()
@@ -362,7 +400,7 @@ def synth_gif(w: int, h: int, seed: int = 0, n_colors: int = 8) -> bytes:
         + (0).to_bytes(2, "little") * 2
         + w.to_bytes(2, "little")
         + h.to_bytes(2, "little")
-        + b"\x00"  # no LCT, not interlaced
+        + bytes([0x40 if interlace else 0x00])  # no LCT
     )
     return (
         b"GIF87a"
@@ -378,10 +416,9 @@ def synth_gif(w: int, h: int, seed: int = 0, n_colors: int = 8) -> bytes:
 def decode_gif(payload: bytes) -> np.ndarray:
     """Single-frame GIF -> uint8 RGB array (h, w, 3), pure stdlib +
     numpy: real LZW decompression, global/local color tables,
-    extension blocks skipped. Interlaced images raise
-    NotImplementedError (Adam-style row reordering needs no codec lib
-    but is absent from the synthetic corpus — honest boundary noted);
-    animations decode their FIRST image descriptor."""
+    extension blocks skipped, interlaced images de-interleaved via the
+    Appendix-E four-pass row order; animations decode their FIRST
+    image descriptor."""
     if payload[:6] not in _GIF_MAGICS:
         raise ValueError("not a GIF payload")
     w = int.from_bytes(payload[6:8], "little")
@@ -410,8 +447,6 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 n = 2 << (ipacked & 0x07)
                 ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
                 pos += n * 3
-            if ipacked & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
             if ct is None:
                 raise ValueError("GIF image without a color table")
             min_code = payload[pos]
@@ -424,8 +459,12 @@ def decode_gif(payload: bytes) -> np.ndarray:
             pos += 1
             indices = np.frombuffer(
                 _lzw_decode_gif(min_code, bytes(lzw), iw * ih), np.uint8
-            )
-            return ct[indices].reshape(ih, iw, 3)
+            ).reshape(ih, iw)
+            if ipacked & 0x40:  # interlaced: un-permute the rows
+                rows = np.empty_like(indices)
+                rows[_gif_interlace_order(ih)] = indices
+                indices = rows
+            return ct[indices.reshape(-1)].reshape(ih, iw, 3)
         elif block == 0x3B:
             break
         else:

@@ -110,6 +110,66 @@ def test_progressive_and_non_jpeg_rejected():
         J.decode_jpeg(b"GIF89a" + b"\x00" * 8)
 
 
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes to pad a
+    marker; externally-produced streams use them (round-4 advice)."""
+    img = _test_image(h=9, w=9)
+    plain = J.encode_jpeg(img)
+    want = J.decode_jpeg(plain)
+    # pad EVERY marker in the header region with fill bytes (markers
+    # before the SOS payload; scan data itself must stay untouched)
+    sos = plain.index(b"\xff\xda")
+    padded = bytearray(plain[:2])  # SOI itself is never padded
+    i = 2
+    while i < sos:
+        if plain[i] == 0xFF and plain[i + 1] not in (0x00, 0xFF):
+            padded.extend(b"\xff\xff\xff")  # three fill bytes
+        padded.append(plain[i])
+        i += 1
+    padded.extend(plain[sos:])
+    got = J.decode_jpeg(bytes(padded))
+    assert np.array_equal(got, want)
+
+
+def test_multi_scan_baseline_rejected_clearly():
+    """A legal baseline JPEG may send per-component scans (ns < frame
+    ncomp); the interleaved-scan decoder must refuse with a clear
+    NotImplementedError instead of a raw KeyError (round-4 advice)."""
+    sof = (
+        b"\xff\xc0" + (2 + 6 + 9).to_bytes(2, "big")
+        + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes([3])
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    )
+    sos = (
+        b"\xff\xda" + (2 + 1 + 2 + 3).to_bytes(2, "big")
+        + bytes([1]) + bytes([1, 0x00]) + bytes([0, 63, 0])
+    )
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        J.decode_jpeg(b"\xff\xd8" + sof + sos)
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2.2: a non-interleaved (single-component) scan is one
+    8x8 block per MCU — sampling factors in the SOF must not change
+    the scan layout. A grayscale stream whose SOF claims 2x2 factors
+    must decode identically to the 1x1 original (round-4 advice: the
+    old loop applied the interleaved MCU layout and produced
+    garbage)."""
+    rng = np.random.RandomState(5)
+    img = np.clip(
+        120 + 50 * np.sin(np.arange(40) / 5.0)[None, :] + rng.randn(24, 40) * 2,
+        0, 255,
+    ).astype(np.uint8)
+    plain = bytearray(J.encode_jpeg(img))
+    want = J.decode_jpeg(bytes(plain))
+    sof = plain.index(b"\xff\xc0")
+    assert plain[sof + 11] == 0x11  # the gray component's h|v byte
+    plain[sof + 11] = 0x22
+    got = J.decode_jpeg(bytes(plain))
+    assert np.array_equal(got, want)
+
+
 def test_jpeg_decodes_in_spark_stage(spark):
     from serimi_rdf_interlinking_spark.jpeg import decode_jpeg, synth_jpeg
     from serimi_rdf_interlinking_spark.multimodal import (

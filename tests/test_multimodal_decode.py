@@ -90,16 +90,46 @@ def test_decode_png_rejects_unsupported_profiles():
 
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"GIF89a" + b"\x00" * 10)
-    # palette color type (3) needs a PLTE decoder — honest boundary
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    # 16-bit depth stays the honest boundary (palette decodes since r5)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     payload = (
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        decode_png(payload)
+    # palette image missing its PLTE chunk is malformed, not unsupported
+    ihdr3 = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    payload3 = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr3)
         + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="color_type=3"):
-        decode_png(payload)
+    with pytest.raises(ValueError, match="without a PLTE"):
+        decode_png(payload3)
+
+
+def test_decode_png_palette_roundtrip():
+    """8-bit palette PNG (RFC 2083 PLTE) under every scanline filter:
+    indices unfilter as 1-byte units, then map through the palette."""
+    from serimi_rdf_interlinking_spark.multimodal import decode_png, synth_png
+
+    rasters = [
+        decode_png(
+            synth_png(9, 6, seed=11, color_type=3, filter_type=f, n_colors=16)
+        )
+        for f in range(5)
+    ]
+    assert rasters[0].shape == (6, 9, 3)
+    for r in rasters[1:]:
+        assert np.array_equal(r, rasters[0])
+    rng = np.random.RandomState(11)
+    palette = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, size=(6, 9, 1)).astype(np.uint8)
+    assert np.array_equal(rasters[0], palette[idx[:, :, 0]])
 
 
 def test_png_decodes_in_spark_stage(spark):
@@ -149,15 +179,21 @@ def test_lzw_codec_kwkwk_and_clear():
         assert _lzw_decode_gif(2, enc, len(pixels)) == pixels
 
 
-def test_decode_gif_rejects_interlaced():
-    from serimi_rdf_interlinking_spark.multimodal import decode_gif, synth_gif
+def test_decode_gif_interlaced_roundtrip():
+    """Interlaced GIF (Appendix-E four-pass row order) must decode to
+    the SAME raster as the plain transmission of the same seed — the
+    de-interleave is a pure row un-permutation."""
+    from serimi_rdf_interlinking_spark.multimodal import (
+        _gif_interlace_order,
+        decode_gif,
+        synth_gif,
+    )
 
-    payload = bytearray(synth_gif(4, 4, seed=1, n_colors=4))
-    # image descriptor packed byte sits 9 bytes past the 0x2C marker
-    desc = payload.index(0x2C, 13)
-    payload[desc + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(bytes(payload))
+    for h in (1, 2, 7, 16, 33):  # exercise every pass-boundary shape
+        assert sorted(_gif_interlace_order(h)) == list(range(h))
+        plain = decode_gif(synth_gif(6, h, seed=9, n_colors=5))
+        inter = decode_gif(synth_gif(6, h, seed=9, n_colors=5, interlace=True))
+        assert np.array_equal(plain, inter)
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"\x89PNG\r\n\x1a\n")
 

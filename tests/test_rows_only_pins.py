@@ -28,8 +28,10 @@ PINS = {
     # hash changed. Round 5: media_features gained a full VALUES
     # oracle (pinned feature rows, gen_oracle_pins.py) — the pin here
     # stays as an extra regression tooth; repinned because feat is now
-    # cast to DOUBLE before rounding (dtype-stable oracle compare)
-    "media_features": "e13643d028c2303dfce6af3fbdd25fae",
+    # cast to DOUBLE before rounding (dtype-stable oracle compare) and
+    # the corpus rotated in palette-PNG and interlaced-GIF rows (both
+    # decoded for real since r5)
+    "media_features": "d643f078b63d8dd8ef66688aa998f8e8",
 }
 
 # the GEMM driver row became set-verified against the exact SQL top-k
