@@ -1406,6 +1406,32 @@ def q_serimi_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.alignments.orderBy("source", "target")
 
 
+def q_serimi_alignment_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship matcher in the reference-parity SEQUENTIAL mode
+    (driver chunk loop, serimi.rb's own execution order) against the
+    SAME pinned oracle as the batch-mode flagship above: the driver
+    thereby records, every round, that the scale path (batch
+    applyInPandas chunk kernels) and the parity path (sequential loop)
+    produce value-identical alignments on the homogeneous fixture
+    (round-4 verdict #5)."""
+    from serimi_rdf_interlinking_spark.config import SerimiConfig
+    from serimi_rdf_interlinking_spark.matcher import SerimiMatcher
+    from serimi_rdf_interlinking_spark.sources.fixtures import (
+        CLASS_CITY,
+        build_interlinking_fixture,
+    )
+    from serimi_rdf_interlinking_spark.sources.triples import TRIPLE_SCHEMA
+
+    fx = build_interlinking_fixture(n_entities=30, seed=7)
+    src = spark.createDataFrame(fx.source, TRIPLE_SCHEMA).repartition(4).localCheckpoint()
+    tgt = spark.createDataFrame(fx.target, TRIPLE_SCHEMA).repartition(4).localCheckpoint()
+    cfg = SerimiConfig(
+        chunk=10, topk=1, shuffle_partitions=4, mode="sequential"
+    )
+    res = SerimiMatcher(cfg).run(spark, src, tgt, CLASS_CITY)
+    return res.alignments.orderBy("source", "target")
+
+
 def q_advanced_string_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 composite kernel (rows-only): pairwise asm over part names."""
     from serimi_rdf_interlinking_spark.functions.udfs import asm_udf
@@ -1482,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "pack_documents": q_pack_documents,
         "serimi_alignment": q_serimi_alignment,
+        "serimi_alignment_seq": q_serimi_alignment_seq,
         "advanced_string_matching": q_advanced_string_matching,
     }
 
@@ -2462,6 +2489,10 @@ FROM (VALUES
   {align_vals}) t(source, target, score)
 ORDER BY source, target
 """
+
+    # sequential (reference-parity) mode must equal the batch scale
+    # path on the homogeneous fixture — same pin, recorded per round
+    sql["serimi_alignment_seq"] = sql["serimi_alignment"]
 
     # media decode/featurize: the corpus is seeded + in-driver and the
     # decoders deterministic, so the full 512 feature rows pin as a
