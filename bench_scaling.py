@@ -289,6 +289,57 @@ def scaling_job(spark) -> dict:
         .applyInPandas(kernel, CHUNK_OUTPUT_SCHEMA)
     )
 
+    # batch-mode matcher E2E (round-4 verdict #5: the flagship's scale
+    # path measured under two parallelism levels, not just its kernels).
+    # Input prep (fixture build + createDataFrame + checkpoint) is
+    # excluded from timing; a single evaluation per level (fresh JVM,
+    # caches cold on both sides — a repeat would warm the executor-side
+    # asm lru_caches asymmetrically, the superlinear trap best_of's
+    # salting exists to prevent, and the matcher's own memo cache would
+    # turn a second pass into a partial replay).
+    from serimi_rdf_interlinking_spark.config import SerimiConfig
+    from serimi_rdf_interlinking_spark.matcher import SerimiMatcher
+    from serimi_rdf_interlinking_spark.sources.fixtures import (
+        CLASS_CITY,
+        build_interlinking_fixture,
+    )
+    from serimi_rdf_interlinking_spark.sources.triples import TRIPLE_SCHEMA
+
+    n_ent = int(os.environ.get("SERIMI_SCALE_MATCHER_ENTITIES", "20000"))
+    fx = build_interlinking_fixture(n_entities=n_ent, seed=7)
+    spark_ = pages.sparkSession
+    m_src = (
+        spark_.createDataFrame(fx.source, TRIPLE_SCHEMA)
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    m_tgt = (
+        spark_.createDataFrame(fx.target, TRIPLE_SCHEMA)
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    m_src.count(), m_tgt.count()
+    matcher = SerimiMatcher(
+        SerimiConfig(
+            chunk=10,
+            topk=1,
+            # shuffle width = the run's parallelism (measured_run sets
+            # spark.sql.shuffle.partitions = cores)
+            shuffle_partitions=int(
+                spark_.conf.get("spark.sql.shuffle.partitions")
+            ),
+        )
+    )
+    t0 = time.time()
+    mres = matcher.run(spark_, m_src, m_tgt, CLASS_CITY)
+    n_align = mres.alignments.count()
+    t_matcher = time.time() - t0
+    # the warm-up retrieve/kernel collect a FIXED number of chunks on
+    # the driver (O(1) in corpus size by design) — separate them so the
+    # efficiency of the corpus-proportional stages is visible
+    t_warm = matcher.last_timings.get("warm retrieve", 0.0) + \
+        matcher.last_timings.get("warmup kernel", 0.0)
+
     t0 = time.time()
     n_sig = _force(minhash_signatures(pages, id_col="doc_id", num_hashes=12))
     n_sim = _force(simhash(pages, id_col="doc_id"))
@@ -303,9 +354,14 @@ def scaling_job(spark) -> dict:
         "n_asm_pairs": n_pairs,
         "n_rds_rows": n_rds,
         "n_rows_dedup_suite": n_sig + n_sim + n_fp + n_lang + n_q,
+        "n_matcher_entities": n_ent,
+        "n_alignments": n_align,
         "t_extract": round(t_extract, 3),
         "t_asm": round(t_asm, 3),
         "t_rds": round(t_rds, 3),
+        "t_matcher": round(t_matcher, 3),
+        "t_matcher_warmup": round(t_warm, 3),
+        "t_matcher_scale": round(t_matcher - t_warm, 3),
         "t_dedup_suite": round(t_dedup, 3),
         # headline = the KG pipeline's compute (python/Arrow stages);
         # the JVM dedup suite is reported separately (memory-bandwidth
@@ -404,6 +460,27 @@ with co-tenant load). On a multi-executor cluster each executor owns
 its cores, heap and memory channels — the regime the criterion
 actually targets.
 
+**Batch-mode matcher E2E** (the flagship serimi_alignment scale path:
+full SerimiMatcher.run — label/stopword mining, token-index build,
+tiered candidate retrieval, applyInPandas RDS chunk kernels — on a
+{lo['n_matcher_entities']:,}-entity homogeneous interlinking fixture,
+{lo['n_alignments']:,} alignments; input prep excluded, single
+evaluation per level with a fresh JVM so every cache is equally cold):
+
+| parallelism | matcher e2e (s) | scale stages (s) | O(1) warm-up (s) |
+|---|---|---|---|
+| local[{LOW}]  | {lo['t_matcher']} | {lo['t_matcher_scale']} | {lo['t_matcher_warmup']} |
+| local[{HIGH}] | {hi['t_matcher']} | {hi['t_matcher_scale']} | {hi['t_matcher_warmup']} |
+
+Matcher scale-stage efficiency {LOW}->{HIGH}:
+**{lo['t_matcher_scale'] / hi['t_matcher_scale'] / (HIGH / LOW):.3f}**
+(e2e incl. warm-up:
+{lo['t_matcher'] / hi['t_matcher'] / (HIGH / LOW):.3f}). The warm-up
+retrieves a FIXED number of chunks on the driver (O(1) in corpus size
+— the reference's own pivot-learning semantics), so it amortizes to
+zero at real corpus sizes; the scale-stage number is the one the
+N->4N criterion governs.
+
 **Secondary: JVM dedup/fingerprint suite** (minhash md5-shingling,
 simhash, fingerprints, language-ID, quality):
 local[{LOW}] {lo['t_dedup_suite']}s -> local[{HIGH}]
@@ -430,6 +507,10 @@ timing).
             f"local{HIGH}_sec": hi["t_total"],
             "pages_per_sec_low": round(tp_lo, 1),
             "pages_per_sec_high": round(tp_hi, 1),
+            "matcher_scale_efficiency": round(
+                lo["t_matcher_scale"] / hi["t_matcher_scale"] / (HIGH / LOW),
+                3,
+            ),
         },
         "sf": "scale_corpus",
     }

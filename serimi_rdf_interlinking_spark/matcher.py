@@ -722,11 +722,17 @@ class SerimiMatcher:
         cfg = self.cfg
         timing = os.environ.get("SERIMI_TIMING") == "1"
         t0 = time.time()
+        # per-stage wall times of the last run (bench_scaling reads
+        # these to separate the O(1) driver warm-up from the
+        # corpus-proportional scale stages)
+        self.last_timings: dict[str, float] = {}
 
         def tick(label: str) -> None:
             nonlocal t0
+            dt = time.time() - t0
+            self.last_timings[label] = round(dt, 3)
             if timing:
-                print(f"[serimi {label}: {time.time() - t0:.1f}s]", flush=True)
+                print(f"[serimi {label}: {dt:.1f}s]", flush=True)
             t0 = time.time()
 
         members = class_members(source, class_uri)

@@ -176,12 +176,20 @@ def build_interlinking_fixture(n_entities: int = 60, seed: int = 7,
 
     # distinct base names; a fraction reused by homonym noise entities.
     # the 2-syllable space has only len(_SYL1)*len(_SYL2) combinations —
-    # switch to 3 syllables once it is half-exhausted.
+    # switch to 3 syllables once it is half-exhausted, and past HALF the
+    # 3-syllable space append a deterministic numeric suffix: rejection
+    # sampling over a near-exhausted space otherwise never terminates
+    # (pre-round-5 bug: n_entities > ~2200 hung forever). The suffix
+    # branch cannot collide (syllable-only names carry no digits) and
+    # small-n fixtures are byte-identical to before.
     names: list[str] = []
     seen = set()
     two_syl_cap = len(_SYL1) * len(_SYL2) // 2
+    three_syl_cap = two_syl_cap + len(_SYL1) * len(_SYL1) * len(_SYL2) // 2
     while len(names) < n_entities:
         nm = _city_name(rng, three_syllables=len(names) >= two_syl_cap)
+        if len(names) >= three_syl_cap:
+            nm = f"{nm}{len(names)}"
         if nm not in seen:
             seen.add(nm)
             names.append(nm)

@@ -10,14 +10,11 @@ def test_registry_shape():
     assert len(qs) >= 30
     # every oracle belongs to a registered query
     assert set(oracles).issubset(set(qs))
-    # the deliberately rows-only entries. Round-4 closures:
-    # serimi_alignment + advanced_string_matching gained pinned
-    # expected-value oracles (tools/gen_oracle_pins.py),
-    # cosine_topk_gemm a neighbor-set oracle. media_features stays
-    # rows-only — binary codec decode is not SQL-expressible; its
-    # values are pinned by row-hash instead.
+    # round 5 closed the LAST rows-only entry: media_features now has
+    # a pinned expected-value VALUES oracle (tools/gen_oracle_pins.py),
+    # so every registered query is value-checked by the driver.
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"media_features"}
+    assert rows_only == set()
 
 
 def test_entry_smoke(spark):
