@@ -65,6 +65,41 @@ def bucket_histogram(
     )
 
 
+def located_bucket_values(
+    df: DataFrame, group_col: str, value_col: str, width: float, needed: dict
+) -> DataFrame:
+    """Pass-2 plan: the exact distinct-value histogram inside the
+    located buckets. Two filter layers (exposed for plan tests): a
+    RAW-VALUE range disjunction — pushable to the parquet scan, so
+    row-group min/max stats skip almost the whole table at 100-TB
+    scale; widened by one bucket each side so any FP disagreement
+    between the v/width division and the b*width multiplication cannot
+    drop a boundary row — plus the exact (group, floor-bucket)
+    predicate on the surviving rows."""
+    range_pred = None
+    exact_pred = None
+    for g, buckets in needed.items():
+        for b in sorted(buckets):
+            lo = (int(b) - 1) * float(width)
+            hi = (int(b) + 2) * float(width)
+            r = (F.col(value_col) >= F.lit(lo)) & (F.col(value_col) < F.lit(hi))
+            range_pred = r if range_pred is None else (range_pred | r)
+        clause = (F.col(group_col) == F.lit(g)) & _bucket(
+            value_col, width
+        ).isin([int(b) for b in buckets])
+        exact_pred = clause if exact_pred is None else (exact_pred | clause)
+    return (
+        df.filter(range_pred)
+        .filter(exact_pred)
+        .groupBy(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("double").alias("v"),
+            _bucket(value_col, width).alias("b"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def _locate(hist_rows, ps):
     """Cumulative walk over one group's sorted bucket histogram:
     for each percentile p return (pos, needed-ranks -> bucket)."""
@@ -123,22 +158,7 @@ def exact_grouped_percentiles(
                 needed.setdefault(g, set()).add(b)
 
     # pass 2: exact value histogram inside the located buckets only
-    pred = None
-    for g, buckets in needed.items():
-        clause = (F.col(group_col) == F.lit(g)) & _bucket(
-            value_col, width
-        ).isin([int(b) for b in buckets])
-        pred = clause if pred is None else (pred | clause)
-    value_hist = (
-        df.filter(pred)
-        .groupBy(
-            F.col(group_col).alias("g"),
-            F.col(value_col).cast("double").alias("v"),
-            _bucket(value_col, width).alias("b"),
-        )
-        .agg(F.count("*").alias("cnt"))
-        .collect()
-    )
+    value_hist = located_bucket_values(df, group_col, value_col, width, needed).collect()
     if len(value_hist) > max_hist_rows:
         raise RuntimeError(
             "exact_grouped_percentiles: located-bucket value histogram "

@@ -62,6 +62,25 @@ def test_pass1_plan_is_primitive_hash_aggregate(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_pass2_range_filter_pushes_to_parquet_scan(spark):
+    """The located-bucket rescan must push its raw-value range
+    disjunction into the parquet scan (row-group stats then skip
+    nearly the whole table at scale); the exact floor-bucket predicate
+    alone is expression-based and NOT pushable — the range layer is
+    what makes pass 2 cheap."""
+    from serimi_rdf_interlinking_spark.operators.quantiles import (
+        located_bucket_values,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = located_bucket_values(
+        li, "l_returnflag", "l_extendedprice", 16.0,
+        {"N": {100, 101}, "R": {200}},
+    )
+    plan = _plan(df)
+    assert "GreaterThanOrEqual(l_extendedprice" in plan.split("PushedFilters")[1][:400]
+
+
 def test_small_and_singleton_groups(spark):
     rows = [("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 7.5)]
     df = spark.createDataFrame(rows, "g string, v double")
