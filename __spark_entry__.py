@@ -1042,13 +1042,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         elif i % 5 == 2:
             # real zlib PNG decode: rotate color types (incl. 8-bit
-            # PALETTE since r5) and all five scanline filters
+            # PALETTE), bit depths (8/16) and Adam7 interlace — all
+            # r5 — plus all five scanline filters
             w, h = 5 + i % 4, 4 + i % 3
-            ct = (2, 6, 3)[(i // 5) % 3]
+            ct, depth, il = (
+                (2, 8, False), (6, 8, False), (3, 8, False),
+                (2, 16, False), (0, 16, True), (6, 8, True),
+            )[(i // 5) % 6]
             rows.append(
                 (f"png{i:02d}", "image",
                  synth_png(w, h, seed=1000 + i, color_type=ct,
-                           filter_type=i % 5),
+                           filter_type=i % 5, bit_depth=depth,
+                           interlace=il),
                  "image/png", w, h, None)
             )
         elif i % 5 == 3:

@@ -104,49 +104,35 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def synth_png(
-    w: int,
-    h: int,
-    seed: int = 0,
-    color_type: int = 2,
-    filter_type: int = 0,
-    n_colors: int = 16,
-) -> bytes:
-    """Deterministic synthetic PNG payload (seeded numpy pixels,
-    stdlib-zlib IDAT). `filter_type` applies one scanline filter
-    (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) to every row — used by
-    tests to exercise each unfilter path of decode_png. color_type=3
-    emits an indexed-color image with an `n_colors`-entry PLTE."""
-    import struct
-    import zlib
+# Adam7 pass grid: (x0, y0, dx, dy) per RFC 2083 §2.6
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    ch = _PNG_CHANNELS[color_type]
-    rng = np.random.RandomState(seed)
-    plte = b""
-    if color_type == 3:
-        palette = rng.randint(0, 256, size=(n_colors, 3)).astype(np.uint8)
-        img = rng.randint(0, n_colors, size=(h, w, 1)).astype(np.uint8)
-        plte = _png_chunk(b"PLTE", palette.tobytes())
-    else:
-        img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
-    stride = w * ch
+
+def _png_filter_rows(rows: np.ndarray, filter_type: int, bpp: int) -> bytearray:
+    """Apply one scanline filter to a (n_rows, stride) BYTE raster
+    (filters operate on bytes with a bpp left-offset per RFC 2083
+    §6.2, identically at 8- and 16-bit depth)."""
     raw = bytearray()
+    stride = rows.shape[1]
     prev = np.zeros(stride, np.uint16)
-    for y in range(h):
-        line = img[y].reshape(stride).astype(np.uint16)
+    for y in range(rows.shape[0]):
+        line = rows[y].astype(np.uint16)
         if filter_type == 0:
             filt = line
         elif filter_type == 1:  # Sub
-            left = np.concatenate([np.zeros(ch, np.uint16), line[:-ch]])
+            left = np.concatenate([np.zeros(bpp, np.uint16), line[:-bpp]])
             filt = (line - left) % 256
         elif filter_type == 2:  # Up
             filt = (line - prev) % 256
         elif filter_type == 3:  # Average
-            left = np.concatenate([np.zeros(ch, np.uint16), line[:-ch]])
+            left = np.concatenate([np.zeros(bpp, np.uint16), line[:-bpp]])
             filt = (line - (left + prev) // 2) % 256
         elif filter_type == 4:  # Paeth
-            left = np.concatenate([np.zeros(ch, np.uint16), line[:-ch]])
-            ul = np.concatenate([np.zeros(ch, np.uint16), prev[:-ch]])
+            left = np.concatenate([np.zeros(bpp, np.uint16), line[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.uint16), prev[:-bpp]])
             p = left.astype(np.int32) + prev.astype(np.int32) - ul.astype(np.int32)
             pa, pb, pc = (
                 np.abs(p - left.astype(np.int32)),
@@ -162,7 +148,64 @@ def synth_png(
         raw.append(filter_type)
         raw.extend(filt.astype(np.uint8).tobytes())
         prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return raw
+
+
+def synth_png(
+    w: int,
+    h: int,
+    seed: int = 0,
+    color_type: int = 2,
+    filter_type: int = 0,
+    n_colors: int = 16,
+    bit_depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Deterministic synthetic PNG payload (seeded numpy pixels,
+    stdlib-zlib IDAT). `filter_type` applies one scanline filter
+    (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) to every row — used by
+    tests to exercise each unfilter path of decode_png. color_type=3
+    emits an indexed-color image with an `n_colors`-entry PLTE;
+    bit_depth=16 writes big-endian 16-bit samples; interlace=True
+    writes the Adam7 seven-pass layout."""
+    import struct
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    rng = np.random.RandomState(seed)
+    plte = b""
+    if color_type == 3:
+        if bit_depth != 8:
+            raise ValueError("palette synth supports 8-bit only")
+        palette = rng.randint(0, 256, size=(n_colors, 3)).astype(np.uint8)
+        img = rng.randint(0, n_colors, size=(h, w, 1)).astype(np.uint8)
+        plte = _png_chunk(b"PLTE", palette.tobytes())
+    elif bit_depth == 16:
+        img = rng.randint(0, 65536, size=(h, w, ch)).astype(np.uint16)
+    else:
+        img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    bpp = ch * bit_depth // 8
+
+    def _rows(sub: np.ndarray) -> np.ndarray:
+        """(rows, cols, ch) pixels -> (rows, cols*bpp) big-endian bytes."""
+        n = sub.shape[0]
+        if bit_depth == 16:
+            return np.frombuffer(
+                sub.astype(">u2").tobytes(), np.uint8
+            ).reshape(n, -1)
+        return sub.reshape(n, -1)
+
+    raw = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size:
+                raw.extend(_png_filter_rows(_rows(sub), filter_type, bpp))
+    else:
+        raw.extend(_png_filter_rows(_rows(img), filter_type, bpp))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
@@ -173,18 +216,16 @@ def synth_png(
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG -> uint8 array (h, w, channels), pure stdlib zlib + numpy.
+    """PNG -> uint8 (or uint16 at depth 16) array (h, w, channels),
+    pure stdlib zlib + numpy.
 
-    Supports the dominant web profile: 8-bit depth, color types
-    0/2/3/4/6 (gray, RGB, 8-bit PALETTE via PLTE lookup — the
-    ubiquitous web-crawl variant, RFC 2083 §4.1.2 — gray+alpha, RGBA),
-    non-interlaced, all five scanline filters. 16-bit, sub-8-bit
-    palette and Adam7-interlaced images raise NotImplementedError —
-    the honest boundary without a codec library. Sub/Up unfilter vectorize (per-channel prefix sum / row
-    add); Average/Paeth recur on the reconstructed left neighbor, so
-    they walk pixels within the row (rows still parallelize across
-    the corpus via mapInPandas — the batch axis is documents, not
-    pixels)."""
+    Supports the full static-image web profile: 8- and 16-bit depth,
+    color types 0/2/3/4/6 (gray, RGB, 8-bit PALETTE via PLTE lookup —
+    RFC 2083 §4.1.2 — gray+alpha, RGBA), non-interlaced AND Adam7
+    seven-pass interlaced, all five scanline filters (byte-level with
+    a bpp offset, shared across depths — see _png_unfilter). Sub-8-bit
+    depths raise NotImplementedError — the honest remaining boundary
+    without a codec library."""
     import struct
     import zlib
 
@@ -206,48 +247,97 @@ def decode_png(payload: bytes) -> np.ndarray:
     if header is None:
         raise ValueError("missing IHDR chunk")
     w, h, depth, color, _comp, _filt, interlace = header
-    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+    if (
+        depth not in (8, 16)
+        or color not in _PNG_CHANNELS
+        or (color == 3 and depth != 8)
+        or interlace not in (0, 1)
+    ):
         raise NotImplementedError(
             f"PNG profile (depth={depth}, color_type={color}, "
             f"interlace={interlace}) needs a codec library; supported "
-            "here: 8-bit gray/gray+alpha/RGB/RGBA/palette, "
-            "non-interlaced"
+            "here: 8/16-bit gray/gray+alpha/RGB/RGBA, 8-bit palette, "
+            "non-interlaced or Adam7"
         )
     if color == 3 and plte is None:
         raise ValueError("palette PNG without a PLTE chunk")
     ch = _PNG_CHANNELS[color]
-    stride = w * ch
+    bpp = ch * depth // 8
+    stride = w * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+    if interlace:
+        passes = [
+            (x0, y0, dx, dy,
+             -(-(w - x0) // dx) if w > x0 else 0,
+             -(-(h - y0) // dy) if h > y0 else 0)
+            for x0, y0, dx, dy in _ADAM7
+        ]
+        want = sum(ph * (pw * bpp + 1) for *_, pw, ph in passes if pw and ph)
+    else:
+        want = h * (stride + 1)
+    if len(raw) != want:
         raise ValueError("PNG raster size mismatch")
     out = np.empty((h, stride), np.uint8)
+    if interlace:
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            if not (pw and ph):
+                continue
+            sub, off = _png_unfilter(raw, off, ph, pw * bpp, bpp)
+            # scatter the pass sub-image into the byte raster: pixel
+            # (x0 + j*dx) spans bytes [(x0+j*dx)*bpp, ...+bpp)
+            cols = (
+                (np.arange(pw) * dx + x0)[:, None] * bpp + np.arange(bpp)
+            ).reshape(-1)
+            out[y0::dy][:ph][:, cols] = sub
+    else:
+        out, _ = _png_unfilter(raw, 0, h, stride, bpp)
+    if color == 3:
+        if int(out.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[out.reshape(h, w)]
+    if depth == 16:
+        b = out.reshape(h, w, ch, 2).astype(np.uint16)
+        return ((b[..., 0] << 8) | b[..., 1]).astype(np.uint16)
+    return out.reshape(h, w, ch)
+
+
+def _png_unfilter(
+    raw: bytes, off: int, n_rows: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Reverse the scanline filters over one raster (the whole image,
+    or one Adam7 pass — each pass filters independently, prev row
+    zero at pass start). Filters operate on BYTES with a bpp left
+    offset (RFC 2083 §6.2), so 8- and 16-bit rasters share this path.
+    Sub/Up vectorize (prefix sum / row add); Average/Paeth recur on
+    the reconstructed left neighbor, so they walk bytes within the row
+    (rows still parallelize across the corpus via mapInPandas)."""
+    out = np.empty((n_rows, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
-    off = 0
-    for y in range(h):
+    for y in range(n_rows):
         ft = raw[off]
         line = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
         off += stride + 1
         if ft == 0:
             pass
-        elif ft == 1:  # Sub: per-channel prefix sum
+        elif ft == 1:  # Sub: per-byte-column prefix sum
             line = (
-                np.cumsum(line.reshape(w, ch), axis=0, dtype=np.uint32) % 256
+                np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.uint32) % 256
             ).astype(np.uint8).reshape(stride)
         elif ft == 2:  # Up
-            line = (line.astype(np.uint16) + prev) % 256
-            line = line.astype(np.uint8)
+            line = ((line.astype(np.uint16) + prev) % 256).astype(np.uint8)
         elif ft == 3:  # Average
             rec = np.empty(stride, np.uint8)
             for x in range(stride):
-                left = int(rec[x - ch]) if x >= ch else 0
+                left = int(rec[x - bpp]) if x >= bpp else 0
                 rec[x] = (int(line[x]) + (left + int(prev[x])) // 2) % 256
             line = rec
         elif ft == 4:  # Paeth
             rec = np.empty(stride, np.uint8)
             for x in range(stride):
-                a = int(rec[x - ch]) if x >= ch else 0
+                a = int(rec[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 if pa <= pb and pa <= pc:
@@ -262,11 +352,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {ft}")
         out[y] = line
         prev = line
-    if color == 3:
-        if int(out.max()) >= len(plte):
-            raise ValueError("palette index out of range")
-        return plte[out.reshape(h, w)]
-    return out.reshape(h, w, ch)
+    return out, off
 
 
 _GIF_MAGICS = (b"GIF87a", b"GIF89a")
@@ -539,8 +625,9 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 def _image_features(img: np.ndarray, dim: int) -> list[float]:
     """Per-channel mean/std on a 4x4 nearest-resized grid + dims —
-    deterministic, resolution-normalized."""
-    small = resize_nearest(img, 4, 4).astype(np.float64) / 255.0
+    deterministic, resolution- and depth-normalized."""
+    denom = 65535.0 if img.dtype == np.uint16 else 255.0
+    small = resize_nearest(img, 4, 4).astype(np.float64) / denom
     chans = small.reshape(-1, small.shape[-1])
     feats = list(chans.mean(axis=0)) + list(chans.std(axis=0))
     feats += [img.shape[1] / 4096.0, img.shape[0] / 4096.0]

@@ -90,15 +90,16 @@ def test_decode_png_rejects_unsupported_profiles():
 
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"GIF89a" + b"\x00" * 10)
-    # 16-bit depth stays the honest boundary (palette decodes since r5)
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    # sub-8-bit depth stays the honest boundary (palette decodes since
+    # r5; 16-bit and Adam7 decode since r5 too)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     payload = (
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 4))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="depth=16"):
+    with pytest.raises(NotImplementedError, match="depth=4"):
         decode_png(payload)
     # palette image missing its PLTE chunk is malformed, not unsupported
     ihdr3 = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
@@ -130,6 +131,51 @@ def test_decode_png_palette_roundtrip():
     palette = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
     idx = rng.randint(0, 16, size=(6, 9, 1)).astype(np.uint8)
     assert np.array_equal(rasters[0], palette[idx[:, :, 0]])
+
+
+def test_decode_png_16bit_roundtrip_all_filters():
+    """16-bit PNG: big-endian sample assembly + byte-level unfilter
+    with bpp offset must reproduce the seeded uint16 raster under
+    every scanline filter and color type."""
+    from serimi_rdf_interlinking_spark.multimodal import decode_png, synth_png
+
+    for ct in (0, 2, 6):
+        rasters = [
+            decode_png(
+                synth_png(7, 5, seed=3, color_type=ct, filter_type=f,
+                          bit_depth=16)
+            )
+            for f in range(5)
+        ]
+        ch = {0: 1, 2: 3, 6: 4}[ct]
+        assert rasters[0].dtype == np.uint16
+        assert rasters[0].shape == (5, 7, ch)
+        for r in rasters[1:]:
+            assert np.array_equal(r, rasters[0])
+        rng = np.random.RandomState(3)
+        want = rng.randint(0, 65536, size=(5, 7, ch)).astype(np.uint16)
+        assert np.array_equal(rasters[0], want)
+
+
+def test_decode_png_adam7_interlaced_roundtrip():
+    """Adam7: the seven-pass scatter must reproduce the plain raster
+    exactly — including degenerate sizes where later passes are empty
+    (w or h < the pass grid) and 16-bit + palette variants."""
+    from serimi_rdf_interlinking_spark.multimodal import decode_png, synth_png
+
+    for (w, h) in ((1, 1), (3, 2), (7, 5), (8, 8), (13, 9)):
+        for ct, depth in ((2, 8), (0, 16), (3, 8), (6, 8)):
+            if ct == 3 and depth != 8:
+                continue
+            plain = decode_png(
+                synth_png(w, h, seed=21, color_type=ct, filter_type=4,
+                          bit_depth=depth)
+            )
+            inter = decode_png(
+                synth_png(w, h, seed=21, color_type=ct, filter_type=4,
+                          bit_depth=depth, interlace=True)
+            )
+            assert np.array_equal(plain, inter), (w, h, ct, depth)
 
 
 def test_png_decodes_in_spark_stage(spark):

@@ -30,8 +30,10 @@ PINS = {
     # stays as an extra regression tooth; repinned because feat is now
     # cast to DOUBLE before rounding (dtype-stable oracle compare) and
     # the corpus rotated in palette-PNG and interlaced-GIF rows (both
-    # decoded for real since r5)
-    "media_features": "d643f078b63d8dd8ef66688aa998f8e8",
+    # decoded for real since r5). Repinned again late-r5: the PNG slots
+    # now also rotate 16-bit and Adam7-interlaced variants (newly
+    # decodable), so the corpus composition changed once more.
+    "media_features": "395355b209f6708bc72c1960cfd27db2",
 }
 
 # the GEMM driver row became set-verified against the exact SQL top-k
