@@ -1411,6 +1411,45 @@ def q_serimi_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.alignments.orderBy("source", "target")
 
 
+def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star KG-construction pipeline end-to-end on the
+    deterministic fixture: Common-Crawl-style pages -> vectorized
+    triple extraction (mapInPandas) -> SERIMI entity linking of the
+    extracted mentions -> sameAs/redirect connected-components
+    canonicalization -> salted, skew-aware materialize — the full
+    `plans/pipeline.py` stage chain with per-stage checkpoints and
+    lineage, exactly the surface BASELINE.json's north_rule names.
+    Output = the canonical materialized triples (matched mention
+    subjects rewritten to target URIs). Deterministic (seeded fixture,
+    deterministic extractor + matcher + min-id CC), so pinned as a
+    VALUES oracle via tools/gen_oracle_pins.py; independent anchors are
+    the extraction-expectation, CC and resume tests in
+    tests/test_extract_graph_pipeline.py."""
+    from serimi_rdf_interlinking_spark.config import SerimiConfig
+    from serimi_rdf_interlinking_spark.plans.pipeline import KGPipeline
+    from serimi_rdf_interlinking_spark.sources.fixtures import (
+        build_interlinking_fixture,
+    )
+    from serimi_rdf_interlinking_spark.sources.triples import (
+        PAGE_SCHEMA,
+        TRIPLE_SCHEMA,
+    )
+
+    fx = build_interlinking_fixture(n_entities=30, seed=7)
+    pages = spark.createDataFrame(
+        [(u, None, h, t, lg) for u, _ts, h, t, lg in fx.pages], PAGE_SCHEMA
+    ).repartition(4).localCheckpoint()
+    tgt = spark.createDataFrame(
+        fx.target, TRIPLE_SCHEMA
+    ).repartition(4).localCheckpoint()
+    ckpt = _stream_scratch("kg_pipeline", sf_dir)
+    cfg = SerimiConfig(chunk=10, topk=1, shuffle_partitions=4)
+    res = KGPipeline(cfg, ckpt, run_id="driver").run(spark, pages, tgt)
+    return res.triples_out.select(
+        "s", "p", "o", "o_is_uri", "src_url", "bucket"
+    ).orderBy("s", "p", "o", "src_url")
+
+
 def q_serimi_alignment_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship matcher in the reference-parity SEQUENTIAL mode
     (driver chunk loop, serimi.rb's own execution order) against the
@@ -1514,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "serimi_alignment": q_serimi_alignment,
         "serimi_alignment_seq": q_serimi_alignment_seq,
+        "kg_pipeline": q_kg_pipeline,
         "advanced_string_matching": q_advanced_string_matching,
     }
 
@@ -2498,6 +2538,24 @@ ORDER BY source, target
     # sequential (reference-parity) mode must equal the batch scale
     # path on the homogeneous fixture — same pin, recorded per round
     sql["serimi_alignment_seq"] = sql["serimi_alignment"]
+
+    # north-star pipeline e2e: pages -> extract -> link -> canonicalize
+    # -> materialize on the seeded fixture is fully deterministic, so
+    # the 90 canonical triples pin like the flagship (regression/
+    # determinism gate; independent anchors = extraction-expectation,
+    # CC and resume tests in tests/test_extract_graph_pipeline.py)
+    kgp_vals = ",\n  ".join(
+        f"('{_sq(s)}', '{_sq(p)}', '{_sq(o)}', {str(bool(u)).upper()}, "
+        f"'{_sq(url)}', {int(bk)})"
+        for s, p, o, u, url, bk in pins["kg_pipeline"]
+    )
+    sql["kg_pipeline"] = f"""
+SELECT s, p, o, o_is_uri::BOOLEAN AS o_is_uri, src_url,
+       bucket::INTEGER AS bucket
+FROM (VALUES
+  {kgp_vals}) t(s, p, o, o_is_uri, src_url, bucket)
+ORDER BY s, p, o, src_url
+"""
 
     # media decode/featurize: the corpus is seeded + in-driver and the
     # decoders deterministic, so the full 512 feature rows pin as a

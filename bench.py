@@ -72,6 +72,9 @@ HEADLINE = [
     "doc_split",
     # flagship end-to-end matcher (fixture-based, fixed size)
     "serimi_alignment",
+    # north-star KG-construction pipeline e2e (pages -> extract ->
+    # link -> canonicalize -> materialize; fixture-based, fixed size)
+    "kg_pipeline",
 ]
 
 
