@@ -1041,14 +1041,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "audio/wav", None, None, n * 1000 // 8000)
             )
         elif i % 5 == 2:
-            # real zlib PNG decode: rotate color types (incl. 8-bit
-            # PALETTE), bit depths (8/16) and Adam7 interlace — all
-            # r5 — plus all five scanline filters
+            # real zlib PNG decode: rotate the full RFC 2083 static
+            # profile — color types (incl. PALETTE), bit depths
+            # (1/2/4/8/16) and Adam7 interlace (all r5) — plus all
+            # five scanline filters
             w, h = 5 + i % 4, 4 + i % 3
             ct, depth, il = (
                 (2, 8, False), (6, 8, False), (3, 8, False),
                 (2, 16, False), (0, 16, True), (6, 8, True),
-            )[(i // 5) % 6]
+                (0, 4, False), (3, 2, True), (0, 1, True),
+            )[(i // 5) % 9]
             rows.append(
                 (f"png{i:02d}", "image",
                  synth_png(w, h, seed=1000 + i, color_type=ct,

@@ -111,6 +111,27 @@ _ADAM7 = (
 )
 
 
+def _png_pack_sub8(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(n_rows, w) sample values -> (n_rows, ceil(w*depth/8)) packed
+    scanline bytes, samples MSB-first within each byte and row tails
+    zero-padded to a byte boundary (RFC 2083 §2.3)."""
+    n, w = samples.shape
+    bits = (
+        (samples[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).astype(np.uint8).reshape(n, w * depth)
+    return np.packbits(bits, axis=1)
+
+
+def _png_unpack_sub8(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(n_rows, stride) packed scanline bytes -> (n_rows, w) sample
+    values (inverse of _png_pack_sub8; byte-padding bits dropped)."""
+    bits = np.unpackbits(rows, axis=1)
+    n = rows.shape[0]
+    grp = bits[:, : (bits.shape[1] // depth) * depth].reshape(n, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grp * weights).sum(axis=2, dtype=np.uint8)[:, :w]
+
+
 def _png_filter_rows(rows: np.ndarray, filter_type: int, bpp: int) -> bytearray:
     """Apply one scanline filter to a (n_rows, stride) BYTE raster
     (filters operate on bytes with a bpp left-offset per RFC 2083
@@ -166,8 +187,10 @@ def synth_png(
     (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) to every row — used by
     tests to exercise each unfilter path of decode_png. color_type=3
     emits an indexed-color image with an `n_colors`-entry PLTE;
-    bit_depth=16 writes big-endian 16-bit samples; interlace=True
-    writes the Adam7 seven-pass layout."""
+    bit_depth=16 writes big-endian 16-bit samples, 1/2/4 writes
+    MSB-first packed scanlines (gray or palette only, per the spec's
+    legal combinations); interlace=True writes the Adam7 seven-pass
+    layout."""
     import struct
     import zlib
 
@@ -175,24 +198,32 @@ def synth_png(
     rng = np.random.RandomState(seed)
     plte = b""
     if color_type == 3:
-        if bit_depth != 8:
-            raise ValueError("palette synth supports 8-bit only")
+        if bit_depth not in (1, 2, 4, 8):
+            raise ValueError("palette depth must be 1/2/4/8")
+        n_colors = min(n_colors, 1 << bit_depth)
         palette = rng.randint(0, 256, size=(n_colors, 3)).astype(np.uint8)
         img = rng.randint(0, n_colors, size=(h, w, 1)).astype(np.uint8)
         plte = _png_chunk(b"PLTE", palette.tobytes())
     elif bit_depth == 16:
         img = rng.randint(0, 65536, size=(h, w, ch)).astype(np.uint16)
+    elif bit_depth < 8:
+        if color_type != 0:
+            raise ValueError("sub-8-bit depth is gray/palette only")
+        img = rng.randint(0, 1 << bit_depth, size=(h, w, 1)).astype(np.uint8)
     else:
         img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
-    bpp = ch * bit_depth // 8
+    bpp = max(1, ch * bit_depth // 8)
 
     def _rows(sub: np.ndarray) -> np.ndarray:
-        """(rows, cols, ch) pixels -> (rows, cols*bpp) big-endian bytes."""
+        """(rows, cols, ch) pixels -> (rows, row_stride) filter-input
+        bytes (big-endian at 16-bit, MSB-first packed below 8)."""
         n = sub.shape[0]
         if bit_depth == 16:
             return np.frombuffer(
                 sub.astype(">u2").tobytes(), np.uint8
             ).reshape(n, -1)
+        if bit_depth < 8:
+            return _png_pack_sub8(sub.reshape(n, -1), bit_depth)
         return sub.reshape(n, -1)
 
     raw = bytearray()
@@ -219,13 +250,16 @@ def decode_png(payload: bytes) -> np.ndarray:
     """PNG -> uint8 (or uint16 at depth 16) array (h, w, channels),
     pure stdlib zlib + numpy.
 
-    Supports the full static-image web profile: 8- and 16-bit depth,
-    color types 0/2/3/4/6 (gray, RGB, 8-bit PALETTE via PLTE lookup —
-    RFC 2083 §4.1.2 — gray+alpha, RGBA), non-interlaced AND Adam7
-    seven-pass interlaced, all five scanline filters (byte-level with
-    a bpp offset, shared across depths — see _png_unfilter). Sub-8-bit
-    depths raise NotImplementedError — the honest remaining boundary
-    without a codec library."""
+    Supports the COMPLETE RFC 2083 static-image profile: every legal
+    (depth, color_type) combination — 1/2/4/8/16-bit gray, 8/16-bit
+    RGB / gray+alpha / RGBA, 1/2/4/8-bit PALETTE via PLTE lookup
+    (§4.1.2) — non-interlaced AND Adam7 seven-pass interlaced, all
+    five scanline filters (byte-level with a bpp offset, shared across
+    depths — see _png_unfilter; bpp=1 below 8 bits per §6.2). Sub-8
+    gray samples are expanded to 8-bit by the exact 255/(2^d-1)
+    multiplier (= bit replication). Illegal depth/color combinations
+    raise ValueError (malformed, not unsupported — nothing in the
+    static profile is left undecodable)."""
     import struct
     import zlib
 
@@ -247,23 +281,28 @@ def decode_png(payload: bytes) -> np.ndarray:
     if header is None:
         raise ValueError("missing IHDR chunk")
     w, h, depth, color, _comp, _filt, interlace = header
+    allowed = {
+        0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+        4: (8, 16), 6: (8, 16),
+    }
     if (
-        depth not in (8, 16)
-        or color not in _PNG_CHANNELS
-        or (color == 3 and depth != 8)
+        color not in allowed
+        or depth not in allowed[color]
         or interlace not in (0, 1)
     ):
-        raise NotImplementedError(
-            f"PNG profile (depth={depth}, color_type={color}, "
-            f"interlace={interlace}) needs a codec library; supported "
-            "here: 8/16-bit gray/gray+alpha/RGB/RGBA, 8-bit palette, "
-            "non-interlaced or Adam7"
+        raise ValueError(
+            f"malformed PNG: (depth={depth}, color_type={color}, "
+            f"interlace={interlace}) is not a legal RFC 2083 profile"
         )
     if color == 3 and plte is None:
         raise ValueError("palette PNG without a PLTE chunk")
     ch = _PNG_CHANNELS[color]
-    bpp = ch * depth // 8
-    stride = w * bpp
+    bpp = max(1, ch * depth // 8)
+
+    def _stride(width: int) -> int:
+        return -(-(width * ch * depth) // 8)
+
+    stride = _stride(w)
     raw = zlib.decompress(bytes(idat))
     if interlace:
         passes = [
@@ -272,13 +311,37 @@ def decode_png(payload: bytes) -> np.ndarray:
              -(-(h - y0) // dy) if h > y0 else 0)
             for x0, y0, dx, dy in _ADAM7
         ]
-        want = sum(ph * (pw * bpp + 1) for *_, pw, ph in passes if pw and ph)
+        want = sum(
+            ph * (_stride(pw) + 1) for *_, pw, ph in passes if pw and ph
+        )
     else:
         want = h * (stride + 1)
     if len(raw) != want:
         raise ValueError("PNG raster size mismatch")
-    out = np.empty((h, stride), np.uint8)
+    if depth < 8:
+        # sub-byte samples: unfilter each raster at bpp=1, unpack the
+        # MSB-first packed samples, then scatter PIXELS (not bytes)
+        samp = np.zeros((h, w), np.uint8)
+        if interlace:
+            off = 0
+            for x0, y0, dx, dy, pw, ph in passes:
+                if not (pw and ph):
+                    continue
+                sub, off = _png_unfilter(raw, off, ph, _stride(pw), 1)
+                samp[y0::dy][:ph][:, x0::dx] = _png_unpack_sub8(
+                    sub, pw, depth
+                )
+        else:
+            rows, _ = _png_unfilter(raw, 0, h, stride, 1)
+            samp = _png_unpack_sub8(rows, w, depth)
+        if color == 3:
+            if int(samp.max()) >= len(plte):
+                raise ValueError("palette index out of range")
+            return plte[samp]
+        scale = 255 // ((1 << depth) - 1)  # exact for d in {1,2,4}
+        return (samp * scale).astype(np.uint8).reshape(h, w, 1)
     if interlace:
+        out = np.empty((h, stride), np.uint8)
         off = 0
         for x0, y0, dx, dy, pw, ph in passes:
             if not (pw and ph):

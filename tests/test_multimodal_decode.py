@@ -90,16 +90,17 @@ def test_decode_png_rejects_unsupported_profiles():
 
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"GIF89a" + b"\x00" * 10)
-    # sub-8-bit depth stays the honest boundary (palette decodes since
-    # r5; 16-bit and Adam7 decode since r5 too)
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    # the full legal RFC 2083 static profile decodes since late r5
+    # (1/2/4/8/16-bit); an ILLEGAL depth/color combination is malformed
+    # input, not a missing feature — e.g. depth-4 RGB
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
     payload = (
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 4))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="depth=4"):
+    with pytest.raises(ValueError, match="not a legal"):
         decode_png(payload)
     # palette image missing its PLTE chunk is malformed, not unsupported
     ihdr3 = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
@@ -155,6 +156,42 @@ def test_decode_png_16bit_roundtrip_all_filters():
         rng = np.random.RandomState(3)
         want = rng.randint(0, 65536, size=(5, 7, ch)).astype(np.uint16)
         assert np.array_equal(rasters[0], want)
+
+
+def test_decode_png_sub8_roundtrip_all_filters():
+    """1/2/4-bit gray and palette PNGs: MSB-first sample unpacking +
+    bpp=1 unfilter must reproduce the seeded raster under every
+    scanline filter, plain and Adam7 (where pass row strides are
+    ceil(pw*depth/8) and pixels — not bytes — scatter). Gray samples
+    expand by the exact 255/(2^d-1) multiplier."""
+    from serimi_rdf_interlinking_spark.multimodal import decode_png, synth_png
+
+    for depth in (1, 2, 4):
+        for ct in (0, 3):
+            for il in (False, True):
+                for f in range(5):
+                    img = decode_png(
+                        synth_png(13, 9, seed=5, color_type=ct,
+                                  filter_type=f, bit_depth=depth,
+                                  interlace=il, n_colors=1 << depth)
+                    )
+                    rng = np.random.RandomState(5)
+                    if ct == 3:
+                        pal = rng.randint(
+                            0, 256, size=(1 << depth, 3)
+                        ).astype(np.uint8)
+                        idx = rng.randint(
+                            0, 1 << depth, size=(9, 13, 1)
+                        ).astype(np.uint8)
+                        want = pal[idx[:, :, 0]]
+                    else:
+                        v = rng.randint(
+                            0, 1 << depth, size=(9, 13, 1)
+                        ).astype(np.uint8)
+                        want = (v * (255 // ((1 << depth) - 1))).astype(
+                            np.uint8
+                        )
+                    assert np.array_equal(img, want), (depth, ct, il, f)
 
 
 def test_decode_png_adam7_interlaced_roundtrip():

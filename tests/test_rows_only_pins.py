@@ -32,8 +32,11 @@ PINS = {
     # the corpus rotated in palette-PNG and interlaced-GIF rows (both
     # decoded for real since r5). Repinned again late-r5: the PNG slots
     # now also rotate 16-bit and Adam7-interlaced variants (newly
-    # decodable), so the corpus composition changed once more.
-    "media_features": "395355b209f6708bc72c1960cfd27db2",
+    # decodable), so the corpus composition changed once more. Final r5
+    # repin: the PNG rotation covers the COMPLETE RFC 2083 static
+    # profile — 1/2/4-bit gray and 2-bit palette (plain + Adam7)
+    # rows joined the corpus when sub-8-bit decode landed.
+    "media_features": "c544c48600601fcb451b49766b2a98c9",
 }
 
 # the GEMM driver row became set-verified against the exact SQL top-k
