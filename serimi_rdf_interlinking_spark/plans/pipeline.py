@@ -99,6 +99,28 @@ class KGPipeline:
         target: DataFrame,
         stop_after: str | None = None,
     ) -> PipelineResult:
+        # right-size the shuffle width for this workload across ALL
+        # stages (extract/canonicalize/materialize, not just the
+        # matcher's own save/restore): at fixture scale a 32-way
+        # shuffle of ~100 rows costs more in task scheduling than it
+        # gains; on a real corpus cfg.shuffle_partitions carries the
+        # cluster's parallelism. Restored after the run.
+        key = "spark.sql.shuffle.partitions"
+        saved = spark.conf.get(key, None)
+        spark.conf.set(key, str(self.cfg.shuffle_partitions))
+        try:
+            return self._run_stages(spark, pages, target, stop_after)
+        finally:
+            if saved is not None:
+                spark.conf.set(key, saved)
+
+    def _run_stages(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        target: DataFrame,
+        stop_after: str | None = None,
+    ) -> PipelineResult:
         done = set(self._state()["done"])
         ran: list[str] = []
         skipped: list[str] = []
@@ -132,7 +154,12 @@ class KGPipeline:
             alignments = spark.read.parquet(al_path)
             skipped.append("link")
         else:
-            mentions = mentions_as_source_triples(extracted)
+            # materialize once: the matcher consumes its source frame in
+            # many stages, and the mention lift is a 3-way union of
+            # distincts over the extract table — left lazy it would
+            # re-execute per consuming stage (multi-consumer
+            # re-execution; localCheckpoint truncates in memory)
+            mentions = mentions_as_source_triples(extracted).localCheckpoint()
             link_cfg = self.cfg
             matcher = SerimiMatcher(link_cfg)
             res = matcher.run(
