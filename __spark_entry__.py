@@ -12,6 +12,7 @@ import atexit
 import os
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,6 +55,26 @@ def _stream_scratch(query: str, sf_dir: str) -> str:
 
 
 _STREAM_SCRATCH_DIRS: set = set()
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = 8):
+    """Right-size shuffle width for a streaming replay. Stateful
+    streaming commits ONE state-store delta per shuffle partition per
+    microbatch, so a 32-wide session conf turns a 6-microbatch
+    AvailableNow replay into ~200 state commits for a few thousand
+    keys — pure fixed overhead at fixture scale. Results are
+    partition-count-independent (grouping is logical); on a real
+    cluster the session conf carries the deployment's width. The conf
+    must stay overridden until awaitTermination returns (a streaming
+    query reads it at first-batch planning, not at .start())."""
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, saved)
 
 
 # ---------------------------------------------------------------------------
@@ -976,10 +997,11 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", F.timestamp_seconds(F.lit(1_600_000_000))
     )
     docs.write.mode("overwrite").parquet(f"{base}/in")
-    q = stream_dedup_exact(
-        spark, f"{base}/in", f"{base}/out", f"{base}/ckpt"
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = stream_dedup_exact(
+            spark, f"{base}/in", f"{base}/out", f"{base}/ckpt"
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(f"{base}/out")
         .select("dedup_key")
@@ -1131,11 +1153,12 @@ def q_stream_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(
         f"{base}/in"
     )
-    q = stream_time_buckets(
-        spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
-        window="5 minutes", watermark="10 minutes",
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = stream_time_buckets(
+            spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
+            window="5 minutes", watermark="10 minutes",
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(f"{base}/out")
         .filter(F.col("event_type") != "__flush__")
@@ -1203,12 +1226,13 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bump = max(os.path.getmtime(p) for p in first) + 2
     for p in set(glob.glob(f"{base}/in/*.parquet")) - first:
         os.utime(p, (bump, bump))
-    q = stream_sessionize_event_time(
-        spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
-        gap_seconds=3600.0, watermark_delay="10 minutes",
-        max_files_per_trigger=1,
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = stream_sessionize_event_time(
+            spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
+            gap_seconds=3600.0, watermark_delay="10 minutes",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(f"{base}/out")
         .groupBy("user_id")
@@ -1272,9 +1296,12 @@ def q_stream_sessionize_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (es > nxt_b - 21000)
         & (es <= nxt_b - 1250)
     )
+    # materialize once: the per-chunk writes below each filter this
+    # frame — left lazy they would re-scan + re-tag the events table
+    # four times
     tagged = ev.withColumn(
         "_chunk", F.when(defer, chunk + 1).otherwise(chunk)
-    )
+    ).localCheckpoint()
     seen: set = set()
     mtime = None
     for c in range(4):
@@ -1313,12 +1340,13 @@ def q_stream_sessionize_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     mtime += 2
     for p in set(glob.glob(f"{base}/in/*.parquet")) - seen:
         os.utime(p, (mtime, mtime))
-    q = stream_sessionize_event_time(
-        spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
-        gap_seconds=3600.0, watermark_delay="6 hours",
-        max_files_per_trigger=1,
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = stream_sessionize_event_time(
+            spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
+            gap_seconds=3600.0, watermark_delay="6 hours",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(f"{base}/out")
         .groupBy("user_id")
