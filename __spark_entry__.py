@@ -1024,11 +1024,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode as a first-class query: a deterministic
-    synthetic media table (seeded PPM + PNG + GIF images and PCM16 WAV
-    audio, built in-driver — no external data per the graft rules)
-    through the mapInPandas decode/feature stage with the REAL
-    library-free decoders (numpy PPM/WAV, stdlib-zlib PNG, from-scratch
-    LZW GIF).
+    synthetic media table (seeded PPM + PNG + GIF + JPEG images —
+    incl. progressive SOF2 since r5 — and PCM16 WAV audio, built
+    in-driver — no external data per the graft rules) through the
+    mapInPandas decode/feature stage with the REAL library-free
+    decoders (numpy PPM/WAV, stdlib-zlib PNG, from-scratch LZW GIF,
+    from-scratch T.81 JPEG).
     Binary codec decode is not ANSI-SQL-*computable*, but the output IS
     deterministic (seeded synth media + deterministic decoders), so the
     oracle is the pinned expected-value table (tools/gen_oracle_pins.py
@@ -1091,17 +1092,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "image/gif", w, h, None)
             )
         else:
-            # real baseline-JPEG decode: rotate 4:4:4 / 4:2:0 /
-            # grayscale / restart-interval streams
+            # real JPEG decode: rotate baseline 4:4:4 / 4:2:0 /
+            # grayscale / restart-interval streams plus progressive
+            # SOF2 (color 4:2:0 and grayscale — r5)
             w, h = 18 + i % 7, 12 + i % 5
-            mode = (i // 5) % 4
+            mode = (i // 5) % 6
             rows.append(
                 (f"jpg{i:02d}", "image",
                  synth_jpeg(
                      w, h, seed=1000 + i,
-                     gray=mode == 2,
-                     subsample=mode == 1,
+                     gray=mode in (2, 5),
+                     subsample=mode in (1, 4),
                      restart_interval=2 if mode == 3 else 0,
+                     progressive=mode >= 4,
                  ),
                  "image/jpeg", w, h, None)
             )

@@ -1,21 +1,29 @@
 """Baseline JPEG codec (ITU-T T.81 sequential DCT, Huffman), pure
 numpy + stdlib — no codec libraries.
 
-Decoder profile: baseline sequential (SOF0), 8-bit samples, 1 or 3
-components, arbitrary Huffman tables from DHT (canonical
+Decoder profile: baseline sequential (SOF0) AND progressive (SOF2,
+Huffman — T.81 Annex G.1: spectral selection + successive
+approximation, all four scan kinds incl. the AC-refinement
+correction-bit algorithm and cross-block EOB runs), 8-bit samples, 1
+or 3 components, arbitrary Huffman tables from DHT (canonical
 reconstruction), arbitrary sampling factors up to the spec's MCU
 layout (4:4:4, 4:2:2, 4:2:0, grayscale), restart intervals (DRI +
-RSTn), APPn/COM skipped. Progressive (SOF2), arithmetic coding,
-12-bit and hierarchical modes raise NotImplementedError — the honest
-boundary of a from-scratch baseline implementation.
+RSTn), APPn/COM skipped. Arithmetic coding, 12-bit and hierarchical
+modes raise NotImplementedError — the honest boundary of a
+from-scratch implementation.
 
-Encoder (for tests + synthetic corpora): 4:4:4 or grayscale, Annex-K
-quantization tables, single-length canonical Huffman tables (valid,
-deliberately simple — every DC symbol gets 4 bits, every AC symbol 8
-bits, so the all-ones code is never used). decode(encode(x)) is NOT
-bit-exact (JPEG is lossy); tests bound the reconstruction error and
-verify the DCT/zigzag/Huffman plumbing against independent numpy
-references.
+Encoder (for tests + synthetic corpora): 4:4:4, 4:2:0 or grayscale,
+Annex-K quantization tables, single-length canonical Huffman tables
+(valid, deliberately simple — every DC symbol gets 4 bits, every AC
+symbol 8 bits, so the all-ones code is never used); baseline or a
+14-scan progressive script (interleaved DC at Al=1 + DC refinement +
+per-component AC bands 1-5/6-63 at Al=1 + AC refinements). A
+progressive stream carries the SAME quantized coefficients as the
+baseline stream of the same image, so tests assert
+decode(progressive) == decode(baseline) bit-for-bit — a closed
+round-trip oracle. decode(encode(x)) is NOT bit-exact (JPEG is
+lossy); tests bound the reconstruction error and verify the
+DCT/zigzag/Huffman plumbing against independent numpy references.
 
 Scale shape: decoding runs inside the multimodal mapInPandas stage —
 the parallel axis is documents, not pixels; a single image decodes in
@@ -179,8 +187,9 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """JPEG -> uint8 array (h, w, channels): baseline sequential DCT
-    only (see module docstring for the profile)."""
+    """JPEG -> uint8 array (h, w, channels): baseline sequential
+    (SOF0/1) and progressive (SOF2, Huffman) DCT — see module
+    docstring for the profile."""
     if payload[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -189,6 +198,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None
     dri = 0
+    coefs: list[np.ndarray] | None = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -199,6 +209,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if frame is not None and frame.get("progressive") and coefs:
+                return _prog_finish(frame, coefs, qt)
             break
         if 0xD0 <= marker <= 0xD7:  # stray RST outside scan
             continue
@@ -229,7 +241,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     counts, symbols
                 )
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -242,19 +254,34 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            if frame["progressive"]:
+                _prog_layout(frame)
+                coefs = [
+                    np.zeros((g["bh"], g["bw"], 64), np.int32)
+                    for g in frame["grids"]
+                ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG mode SOF{marker - 0xC0} (progressive/arithmetic/"
-                "hierarchical) needs a codec library; baseline SOF0 "
-                "decodes natively"
+                f"JPEG mode SOF{marker - 0xC0} (arithmetic/lossless/"
+                "hierarchical) needs a codec library; baseline SOF0 and "
+                "progressive SOF2 decode natively"
             )
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if frame["progressive"]:
+                pos = _decode_prog_scan(
+                    payload, pos + length, frame, body, huff_dc,
+                    huff_ac, dri, coefs,
+                )
+                continue
             ns = body[0]
             if ns < len(frame["comps"]):
                 # legal baseline, but the scan loop below assumes one
@@ -310,6 +337,12 @@ def _decode_scan(payload, pos, frame, tables, qt, huff_dc, huff_ac, dri):
                     y0 = (my * comp["v"] + by) * 8
                     x0 = (mx * comp["h"] + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+    return _finish_planes(planes, comps, hmax, vmax, h, w)
+
+
+def _finish_planes(planes, comps, hmax, vmax, h, w):
+    """Upsample component planes to full resolution, crop the MCU
+    padding, convert YCbCr -> RGB (BT.601 as in T.871)."""
     out_planes = []
     for ci, comp in enumerate(comps):
         p = planes[ci]
@@ -355,6 +388,208 @@ def _decode_block(br, dc_dec, ac_dec, q, pred, ci):
 
 
 # ---------------------------------------------------------------------------
+# progressive decoder (T.81 Annex G.1: spectral selection + successive
+# approximation, Huffman). Coefficients accumulate across scans in
+# zigzag order; dequant + IDCT happen once at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _prog_layout(frame) -> None:
+    """Attach MCU + per-component block-grid geometry. Coefficient
+    arrays are allocated at the interleaved-padded size (bh, bw);
+    non-interleaved scans cover the (possibly smaller) sub-grid
+    (nbh, nbw) = ceil(component dims / 8) per T.81 A.2.2."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    grids = []
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch_ = -(-h * c["v"] // vmax)
+        grids.append(
+            {
+                "bw": mcus_x * c["h"], "bh": mcus_y * c["v"],
+                "nbw": -(-cw // 8), "nbh": -(-ch_ // 8),
+            }
+        )
+    frame["mcus"] = (mcus_x, mcus_y)
+    frame["grids"] = grids
+
+
+def _decode_prog_scan(payload, pos, frame, body, huff_dc, huff_ac, dri,
+                      coefs) -> int:
+    """Decode one progressive scan's entropy data into `coefs`;
+    returns the byte offset of the next marker."""
+    comps = frame["comps"]
+    ns = body[0]
+    scomps = []
+    for c in range(ns):
+        cs, td_ta = body[1 + 2 * c : 3 + 2 * c]
+        ci = next(
+            i for i, cc in enumerate(comps) if cc["id"] == cs
+        )
+        scomps.append((ci, td_ta >> 4, td_ta & 0x0F))
+    ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    br = _BitReader(payload, pos)
+    eob = [0]  # EOB run, shared across blocks within the scan
+    if ss == 0:  # DC scan (interleaved allowed)
+        pred = [0] * len(scomps)
+        if ns > 1:
+            mcus_x, mcus_y = frame["mcus"]
+            for m in range(mcus_x * mcus_y):
+                if dri and m and m % dri == 0:
+                    br.restart()
+                    pred = [0] * len(scomps)
+                my, mx = divmod(m, mcus_x)
+                for si, (ci, dc_t, _ac_t) in enumerate(scomps):
+                    comp = comps[ci]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            _prog_dc(
+                                br, huff_dc.get(dc_t),
+                                coefs[ci][my * comp["v"] + by,
+                                          mx * comp["h"] + bx],
+                                ah, al, pred, si,
+                            )
+        else:
+            ci, dc_t, _ac_t = scomps[0]
+            g = frame["grids"][ci]
+            for u in range(g["nbw"] * g["nbh"]):
+                if dri and u and u % dri == 0:
+                    br.restart()
+                    pred = [0]
+                row, col = divmod(u, g["nbw"])
+                _prog_dc(
+                    br, huff_dc.get(dc_t), coefs[ci][row, col],
+                    ah, al, pred, 0,
+                )
+    else:  # AC scan: single component, non-interleaved (G.1.1.1.1)
+        if ns != 1:
+            raise ValueError("progressive AC scan must be one component")
+        ci, _dc_t, ac_t = scomps[0]
+        dec = huff_ac[ac_t]
+        g = frame["grids"][ci]
+        for u in range(g["nbw"] * g["nbh"]):
+            if dri and u and u % dri == 0:
+                br.restart()
+                eob[0] = 0
+            row, col = divmod(u, g["nbw"])
+            blk = coefs[ci][row, col]
+            if ah == 0:
+                _prog_ac_first(br, dec, blk, ss, se, al, eob)
+            else:
+                _prog_ac_refine(br, dec, blk, ss, se, al, eob)
+    if br.bit:  # align to the next marker boundary
+        br.bit = 0
+        br.pos += 2 if br.data[br.pos] == 0xFF else 1
+    return br.pos
+
+
+def _prog_dc(br, dec, blk, ah, al, pred, si) -> None:
+    """DC coefficient, first pass (Huffman diff of DC >> Al, stored
+    << Al — arithmetic shifts, two's complement) or refinement pass
+    (one appended magnitude bit per block, G.1.2.1)."""
+    if ah == 0:
+        size = dec.read(br)
+        pred[si] += _extend(br.receive(size), size)
+        blk[0] = pred[si] << al
+    elif br.read_bit():
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _prog_ac_first(br, dec, blk, ss, se, al, eob) -> None:
+    """First pass over an AC band (G.1.2.2): run/size coding as in
+    baseline plus cross-block EOB runs; values are sign-magnitude
+    point-transformed, stored << Al."""
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = dec.read(br)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r != 15:
+                # EOBn: this block ends; (1<<r)-1+bits MORE blocks skip
+                eob[0] = (1 << r) - 1 + br.receive(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+
+
+def _prog_ac_refine(br, dec, blk, ss, se, al, eob) -> None:
+    """Refinement pass over an AC band — the correction-bit algorithm
+    of T.81 G.1.2.3: newly-nonzero coefficients arrive as ±1<<Al with
+    a run over ZERO-HISTORY positions only; every already-nonzero
+    coefficient passed over consumes one correction bit; EOB runs
+    count blocks INCLUSIVELY (the current block still refines its
+    remaining nonzero coefficients)."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            sym = dec.read(br)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eob[0] = (1 << r) + br.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = val
+            k += 1
+    if eob[0] > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0 and br.read_bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eob[0] -= 1
+
+
+def _prog_finish(frame, coefs, qt) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficient arrays and
+    assemble the image (vectorized over all blocks per component)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, comp in enumerate(comps):
+        carr = coefs[ci]
+        bh, bw = carr.shape[:2]
+        nat = np.zeros((bh, bw, 64), np.float64)
+        nat[:, :, ZIGZAG] = carr
+        q = qt[comp["tq"]].reshape(64)[None, None, :]
+        mat = (nat * q).reshape(bh, bw, 8, 8)
+        pix = np.einsum("ij,abjk,kl->abil", DCT_M.T, mat, DCT_M) + 128.0
+        planes.append(pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _finish_planes(planes, comps, hmax, vmax, h, w)
+
+
+# ---------------------------------------------------------------------------
 # encoder (tests / synthetic corpora)
 # ---------------------------------------------------------------------------
 
@@ -372,6 +607,16 @@ _AC_COUNTS = [0] * 16
 _AC_COUNTS[7] = len(_AC_SYMBOLS)       # all length 8
 _DC_CODES = _canonical_codes(_DC_COUNTS, _DC_SYMBOLS)
 _AC_CODES = _canonical_codes(_AC_COUNTS, _AC_SYMBOLS)
+
+# progressive AC table: the baseline symbol set plus the EOBn codes
+# (r<<4 for r=1..14, G.1.2.2) — kept SEPARATE so baseline streams stay
+# byte-identical to earlier rounds; 176 symbols < 255, all length 8
+_AC_SYMBOLS_PROG = sorted(
+    set(_AC_SYMBOLS) | {r << 4 for r in range(1, 15)}
+)
+_AC_COUNTS_PROG = [0] * 16
+_AC_COUNTS_PROG[7] = len(_AC_SYMBOLS_PROG)
+_AC_CODES_PROG = _canonical_codes(_AC_COUNTS_PROG, _AC_SYMBOLS_PROG)
 
 
 class _BitWriter:
@@ -406,9 +651,14 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def _encode_block(bw, block, q, pred, ci):
+def _quant_zz(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """8x8 pixel block -> 64 quantized coefficients in zigzag order."""
     coef = np.round((DCT_M @ (block - 128.0) @ DCT_M.T) / q).astype(np.int64)
-    zz = coef.reshape(64)[ZIGZAG]
+    return coef.reshape(64)[ZIGZAG]
+
+
+def _encode_block(bw, block, q, pred, ci):
+    zz = _quant_zz(block, q)
     diff = int(zz[0]) - pred[ci]
     pred[ci] = int(zz[0])
     size = _category(diff)
@@ -446,13 +696,20 @@ def encode_jpeg(
     img: np.ndarray,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """uint8 (h, w) or (h, w, 1|3) -> baseline JPEG bytes (Annex-K
-    quant tables, single-length Huffman tables). `subsample=True`
-    writes 4:2:0 (luma 2x2, mean-downsampled chroma);
-    `restart_interval=R` emits a DRI segment and RSTn markers every R
-    MCUs — both exist chiefly to exercise the decoder's MCU/upsample/
-    restart paths with real streams."""
+    """uint8 (h, w) or (h, w, 1|3) -> JPEG bytes (Annex-K quant
+    tables, single-length Huffman tables). `subsample=True` writes
+    4:2:0 (luma 2x2, mean-downsampled chroma); `restart_interval=R`
+    emits a DRI segment and RSTn markers every R MCUs — both exist
+    chiefly to exercise the decoder's MCU/upsample/restart paths with
+    real streams. `progressive=True` writes an SOF2 stream with a
+    14-scan script (interleaved DC at Al=1, DC refinement,
+    per-component AC bands 1-5/6-63 at Al=1, then their refinements)
+    carrying the SAME quantized coefficients as the baseline stream —
+    so both decode bit-identically."""
+    if progressive and restart_interval:
+        raise ValueError("progressive encoder does not emit DRI")
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
@@ -487,6 +744,8 @@ def encode_jpeg(
             planes[ci] = p.reshape(
                 p.shape[0] // fy, fy, p.shape[1] // fx, fx
             ).mean(axis=(1, 3))
+    if progressive:
+        return _encode_progressive(planes, hv, tqs, quants, h, w)
     bw = _BitWriter()
     pred = [0] * len(planes)
     mcus_x, mcus_y = pw // mcu_w, ph // mcu_h
@@ -548,6 +807,250 @@ def encode_jpeg(
     )
 
 
+# ---------------------------------------------------------------------------
+# progressive encoder (test vectors): 14-scan spectral-selection +
+# successive-approximation script, same quantized coefficients as the
+# baseline stream — decode(progressive) == decode(baseline) exactly.
+# ---------------------------------------------------------------------------
+
+
+def _ac_first_scan(zz, grid, ss, se, al) -> bytes:
+    """One AC first-pass scan (G.1.2.2) over a component's
+    non-interleaved block grid: run/size coding of sign-magnitude
+    point-transformed values plus cross-block EOB runs."""
+    bw = _BitWriter()
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        while eobrun > 0:
+            chunk = min(eobrun, 32767)
+            rr = chunk.bit_length() - 1
+            c_, l_ = _AC_CODES_PROG[rr << 4]
+            bw.write(c_, l_)
+            if rr:
+                bw.write(chunk - (1 << rr), rr)
+            eobrun -= chunk
+
+    nbw, nbh = grid
+    for u in range(nbw * nbh):
+        row, col = divmod(u, nbw)
+        blk = zz[row, col]
+        t = [0] * (se + 1)
+        last = ss - 1
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            tv = abs(v) >> al
+            t[k] = -tv if v < 0 else tv
+            if tv:
+                last = k
+        if last < ss:
+            eobrun += 1
+            if eobrun == 32767:
+                flush()
+            continue
+        flush()
+        run = 0
+        for k in range(ss, last + 1):
+            tv = t[k]
+            if tv == 0:
+                run += 1
+                continue
+            while run > 15:
+                c_, l_ = _AC_CODES_PROG[0xF0]
+                bw.write(c_, l_)
+                run -= 16
+            size = _category(tv)
+            c_, l_ = _AC_CODES_PROG[(run << 4) | size]
+            bw.write(c_, l_)
+            bw.write(tv if tv >= 0 else tv + (1 << size) - 1, size)
+            run = 0
+        if last < se:
+            eobrun += 1
+            if eobrun == 32767:
+                flush()
+    flush()
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _ac_refine_scan(zz, grid, ss, se, al) -> bytes:
+    """One AC refinement scan (G.1.2.3): newly-nonzero coefficients
+    (|v|>>Al == 1) coded with runs over ZERO-HISTORY positions + a
+    sign bit; already-nonzero coefficients contribute one buffered
+    correction bit each, emitted after the next symbol; tail bits
+    after the last newly-nonzero position buffer across blocks and
+    flush with the pending EOB run."""
+    bw = _BitWriter()
+    eobrun = 0
+    tail_bits: list[int] = []
+
+    def flush():
+        nonlocal eobrun
+        if eobrun > 0:
+            rr = eobrun.bit_length() - 1
+            c_, l_ = _AC_CODES_PROG[rr << 4]
+            bw.write(c_, l_)
+            if rr:
+                bw.write(eobrun - (1 << rr), rr)
+            eobrun = 0
+        for b in tail_bits:
+            bw.write(b, 1)
+        tail_bits.clear()
+
+    nbw, nbh = grid
+    for u in range(nbw * nbh):
+        row, col = divmod(u, nbw)
+        blk = zz[row, col]
+        absv = [abs(int(blk[k])) >> al for k in range(se + 1)]
+        eobidx = ss - 1
+        for k in range(ss, se + 1):
+            if absv[k] == 1:
+                eobidx = k
+        run = 0
+        br_bits: list[int] = []
+        for k in range(ss, se + 1):
+            a = absv[k]
+            if a == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eobidx:
+                flush()
+                c_, l_ = _AC_CODES_PROG[0xF0]
+                bw.write(c_, l_)
+                run -= 16
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+            if a > 1:
+                br_bits.append(a & 1)
+                continue
+            flush()
+            c_, l_ = _AC_CODES_PROG[(run << 4) | 1]
+            bw.write(c_, l_)
+            bw.write(1 if int(blk[k]) >= 0 else 0, 1)
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+            run = 0
+        if run > 0 or br_bits:
+            eobrun += 1
+            tail_bits.extend(br_bits)
+            if eobrun == 32767 or len(tail_bits) > 900:
+                flush()
+    flush()
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _encode_progressive(planes, hv, tqs, quants, h, w) -> bytes:
+    ncomp = len(planes)
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    blocks = []
+    grids = []
+    for ci, p in enumerate(planes):
+        bh, bwd = p.shape[0] // 8, p.shape[1] // 8
+        zz = np.zeros((bh, bwd, 64), np.int64)
+        for r in range(bh):
+            for c in range(bwd):
+                zz[r, c] = _quant_zz(
+                    p[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8], quants[ci]
+                )
+        blocks.append(zz)
+        cw = -(-w * hv[ci][0] // hmax)
+        chh = -(-h * hv[ci][1] // vmax)
+        grids.append((-(-cw // 8), -(-chh // 8)))
+
+    AL = 1  # successive-approximation split point
+
+    def sos(scomps, ss, se, ah, al, data):
+        body = bytes([len(scomps)])
+        for ci in scomps:
+            body += bytes([ci + 1, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body) + data
+
+    def dc_blocks():
+        """Block visitation order of the DC scans: interleaved MCU
+        order for multi-component frames, the component's own grid for
+        a single component (ns==1 scans are non-interleaved)."""
+        if ncomp > 1:
+            for m in range(mcus_x * mcus_y):
+                my, mx = divmod(m, mcus_x)
+                for ci in range(ncomp):
+                    hh, vv = hv[ci]
+                    for by in range(vv):
+                        for bx in range(hh):
+                            yield ci, my * vv + by, mx * hh + bx
+        else:
+            nbw, nbh = grids[0]
+            for u in range(nbw * nbh):
+                row, col = divmod(u, nbw)
+                yield 0, row, col
+
+    # DC first scan (diffs of DC >> AL, arithmetic shift)
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for ci, row, col in dc_blocks():
+        d = int(blocks[ci][row, col, 0]) >> AL
+        diff = d - pred[ci]
+        pred[ci] = d
+        size = _category(diff)
+        c_, l_ = _DC_CODES[size]
+        bw.write(c_, l_)
+        if size:
+            bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    bw.flush()
+    scans = sos(list(range(ncomp)), 0, 0, 0, AL, bytes(bw.out))
+
+    # DC refinement (one appended magnitude bit per block)
+    bw = _BitWriter()
+    for ci, row, col in dc_blocks():
+        bw.write(int(blocks[ci][row, col, 0]) & 1, 1)
+    bw.flush()
+    scans += sos(list(range(ncomp)), 0, 0, AL, 0, bytes(bw.out))
+
+    bands = ((1, 5), (6, 63))
+    for ci in range(ncomp):
+        for ss, se in bands:
+            scans += sos(
+                [ci], ss, se, 0, AL,
+                _ac_first_scan(blocks[ci], grids[ci], ss, se, AL),
+            )
+    for ci in range(ncomp):
+        for ss, se in bands:
+            scans += sos(
+                [ci], ss, se, AL, 0,
+                _ac_refine_scan(blocks[ci], grids[ci], ss, se, 0),
+            )
+
+    def zz_bytes(q):
+        return bytes(int(x) for x in q.reshape(64)[ZIGZAG])
+
+    dqt = _seg(0xDB, b"\x00" + zz_bytes(QUANT_LUMA))
+    if ncomp == 3:
+        dqt += _seg(0xDB, b"\x01" + zz_bytes(QUANT_CHROMA))
+    sof_comps = b"".join(
+        bytes([ci + 1, (hv[ci][0] << 4) | hv[ci][1], tqs[ci]])
+        for ci in range(ncomp)
+    )
+    sof = _seg(
+        0xC2,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([ncomp]) + sof_comps,
+    )
+    dht = _seg(
+        0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMBOLS)
+    ) + _seg(
+        0xC4,
+        bytes([0x10]) + bytes(_AC_COUNTS_PROG) + bytes(_AC_SYMBOLS_PROG),
+    )
+    return b"\xff\xd8" + dqt + sof + dht + scans + b"\xff\xd9"
+
+
 def synth_jpeg(
     w: int,
     h: int,
@@ -555,11 +1058,13 @@ def synth_jpeg(
     gray: bool = False,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Deterministic synthetic JPEG payload: a seeded smooth gradient
     plus mild noise (JPEG-friendly content, so reconstruction error
-    stays small and tests can bound it). subsample/restart_interval
-    pass through to encode_jpeg to produce 4:2:0 / RSTn streams."""
+    stays small and tests can bound it). subsample/restart_interval/
+    progressive pass through to encode_jpeg to produce 4:2:0 / RSTn /
+    SOF2 streams."""
     rng = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     base = (
@@ -580,5 +1085,5 @@ def synth_jpeg(
         ).astype(np.uint8)
     return encode_jpeg(
         img, subsample=subsample and not gray,
-        restart_interval=restart_interval,
+        restart_interval=restart_interval, progressive=progressive,
     )

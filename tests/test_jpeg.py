@@ -1,9 +1,12 @@
-"""Baseline JPEG codec (jpeg.py): spec anchors verified against
-independent numpy references (zigzag sequence, DCT orthonormality,
-IDCT basis functions, canonical Huffman code assignment), roundtrip
-error bounds for every encoder mode (gray, 4:4:4, 4:2:0, restart
-intervals), and the honest NotImplementedError boundary for
-progressive streams."""
+"""JPEG codec (jpeg.py): spec anchors verified against independent
+numpy references (zigzag sequence, DCT orthonormality, IDCT basis
+functions, canonical Huffman code assignment), roundtrip error bounds
+for every encoder mode (gray, 4:4:4, 4:2:0, restart intervals),
+progressive (SOF2) streams decoding BIT-IDENTICALLY to their baseline
+twins (same quantized coefficients — a closed oracle over the
+spectral-selection + successive-approximation scan machinery incl.
+EOB runs and AC correction bits), and the honest NotImplementedError
+boundary for arithmetic coding."""
 
 import numpy as np
 import pytest
@@ -99,12 +102,14 @@ def test_grayscale_roundtrip():
     assert np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max() <= 20
 
 
-def test_progressive_and_non_jpeg_rejected():
+def test_arithmetic_and_non_jpeg_rejected():
+    # progressive (SOF2) decodes natively since late r5; the remaining
+    # honest boundary is arithmetic coding (SOF9) and friends
     img = _test_image(h=9, w=9)
     payload = bytearray(J.encode_jpeg(img))
     sof = payload.index(b"\xff\xc0")
-    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    payload[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic)
+    with pytest.raises(NotImplementedError, match="SOF9"):
         J.decode_jpeg(bytes(payload))
     with pytest.raises(ValueError, match="not a JPEG"):
         J.decode_jpeg(b"GIF89a" + b"\x00" * 8)
@@ -168,6 +173,60 @@ def test_single_component_scan_ignores_sampling_factors():
     plain[sof + 11] = 0x22
     got = J.decode_jpeg(bytes(plain))
     assert np.array_equal(got, want)
+
+
+def test_progressive_decodes_bit_identical_to_baseline():
+    """decode(SOF2 stream) must equal decode(SOF0 stream) exactly:
+    both carry the same quantized coefficients, so any divergence is a
+    bug in the progressive scan machinery. Noise images make the
+    refinement/correction-bit paths dense; odd sizes exercise the
+    non-interleaved sub-grids (T.81 A.2.2)."""
+    rng = np.random.RandomState(0)
+    for (h, w) in ((8, 8), (9, 13), (20, 17), (33, 31)):
+        for mode in ("gray", "color", "sub"):
+            if mode == "gray":
+                img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            else:
+                img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            sub = mode == "sub"
+            base = J.decode_jpeg(J.encode_jpeg(img, subsample=sub))
+            prog = J.decode_jpeg(
+                J.encode_jpeg(img, subsample=sub, progressive=True)
+            )
+            assert np.array_equal(base, prog), (h, w, mode)
+
+
+def test_progressive_eob_run_paths():
+    """Flat / smooth / mixed content maximizes cross-block EOB runs
+    (the (1<<r)+bits codes) and their interruption by content blocks —
+    the paths a dense-noise image never exercises."""
+    rng = np.random.RandomState(1)
+    flat = np.full((64, 64, 3), 128, np.uint8)
+    yy, xx = np.mgrid[0:40, 0:56]
+    grad = np.clip(100 + xx + yy, 0, 255).astype(np.uint8)
+    mixed = np.full((64, 64), 128, np.uint8)
+    mixed[16:24, 16:24] = rng.randint(0, 256, (8, 8))
+    mixed[48:56, 40:48] = rng.randint(0, 256, (8, 8))
+    for img, sub in ((flat, True), (grad, False), (mixed, False)):
+        base = J.decode_jpeg(J.encode_jpeg(img, subsample=sub))
+        prog = J.decode_jpeg(
+            J.encode_jpeg(img, subsample=sub, progressive=True)
+        )
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_stream_structure():
+    """The SOF2 marker and the 14-scan script (2 DC + 4 AC-first +
+    4 AC-refine per... — 2 + 4*ncomp scans for color) are really in
+    the stream, and the reconstruction error bound matches baseline's."""
+    img = _test_image(h=24, w=24)
+    p = J.encode_jpeg(img, progressive=True)
+    assert b"\xff\xc2" in p and b"\xff\xc0" not in p
+    assert p.count(b"\xff\xda") == 2 + 4 * 3
+    got = J.decode_jpeg(p).astype(float)
+    assert np.abs(got - img.astype(float)).mean() < 12.0
+    with pytest.raises(ValueError, match="DRI"):
+        J.encode_jpeg(img, progressive=True, restart_interval=2)
 
 
 def test_jpeg_decodes_in_spark_stage(spark):

@@ -35,8 +35,11 @@ PINS = {
     # decodable), so the corpus composition changed once more. Final r5
     # repin: the PNG rotation covers the COMPLETE RFC 2083 static
     # profile — 1/2/4-bit gray and 2-bit palette (plain + Adam7)
-    # rows joined the corpus when sub-8-bit decode landed.
-    "media_features": "c544c48600601fcb451b49766b2a98c9",
+    # rows joined the corpus when sub-8-bit decode landed. Repinned
+    # once more when progressive-JPEG (SOF2) decode landed: the JPEG
+    # slots now rotate two progressive variants (color 4:2:0 + gray)
+    # into the corpus, changing its composition.
+    "media_features": "aafa522077523a84b1eef3d965d53347",
 }
 
 # the GEMM driver row became set-verified against the exact SQL top-k
