@@ -6,20 +6,22 @@ mapInPandas stages.
 
 Decode support: UNCOMPRESSED formats decode for real with numpy alone
 — PPM (P6) images and PCM16 WAV audio (round 3) — and the three
-dominant web image formats decode for real in round 4: PNG through
-stdlib zlib (8-bit gray/gray+alpha/RGB/RGBA, all five scanline
-filters, non-interlaced), GIF through a from-scratch LZW codec
-(single frame, global/local color tables, extensions skipped) and
-baseline JPEG through a from-scratch T.81 sequential-DCT codec
-(`jpeg.py`: canonical Huffman, dequant + orthonormal IDCT, YCbCr,
-4:4:4/4:2:2/4:2:0 sampling, restart intervals), including
+dominant web image formats decode for real since round 4: PNG through
+stdlib zlib (the full RFC 2083 static profile since r5 — color types
+0/2/3/4/6, bit depths 1/2/4/8/16, all five scanline filters, Adam7
+interlace), GIF through a from-scratch LZW codec (single frame,
+global/local color tables, interlace, extensions skipped) and JPEG
+through a from-scratch T.81 DCT codec (`jpeg.py`: canonical Huffman,
+dequant + orthonormal IDCT, YCbCr, 4:4:4/4:2:2/4:2:0 sampling,
+restart intervals — baseline SOF0/1 plus progressive SOF2 spectral
+selection + successive approximation since r5), including
 nearest-neighbor resize and per-channel/signal features, all tested
 against numpy references. Formats genuinely needing libraries absent
-from this container (MP3/MP4, progressive/arithmetic JPEG,
-palette/16-bit/interlaced PNG, interlaced GIF) raise
-NotImplementedError with a clear message; `fake_decode=True` keeps the
-deterministic byte-level fake for plumbing tests. Further real codec
-decoders drop into `_decode_real` without touching the Spark plumbing.
+from this container (MP3/MP4, arithmetic/lossless/hierarchical JPEG,
+animated GIF beyond the first frame) raise NotImplementedError with a
+clear message; `fake_decode=True` keeps the deterministic byte-level
+fake for plumbing tests. Further real codec decoders drop into
+`_decode_real` without touching the Spark plumbing.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -621,6 +624,177 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image data")
 
 
+def synth_animated_gif(
+    w: int,
+    h: int,
+    n_frames: int = 4,
+    seed: int = 0,
+    delay_cs: int = 5,
+) -> bytes:
+    """Deterministic synthetic ANIMATED GIF89a payload: a global color
+    table, a NETSCAPE2.0 loop extension, and one Graphic Control
+    Extension + image per frame. Frame 0 is a full-rect keyframe;
+    later frames are partial sub-rects that rotate through disposal
+    methods 1/2/3, transparency, local color tables and interlace —
+    every compositing path of decode_gif_frames gets real streams."""
+    rng = np.random.RandomState(seed)
+    bits = 4
+    pal_n = 1 << bits
+    gct = rng.randint(0, 256, size=(pal_n, 3)).astype(np.uint8)
+    out = bytearray()
+    out += b"GIF89a"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT, bg index 0
+    out += gct.tobytes()
+    # NETSCAPE2.0 looping application extension (decoders must skip)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fi in range(n_frames):
+        if fi == 0:
+            left = top = 0
+            fw, fh = w, h
+            disposal, transparent = 1, False
+        else:
+            fw = max(1, int(rng.randint(1, w + 1)))
+            fh = max(1, int(rng.randint(1, h + 1)))
+            left = int(rng.randint(0, w - fw + 1))
+            top = int(rng.randint(0, h - fh + 1))
+            disposal = (1, 2, 3)[fi % 3]
+            transparent = fi % 2 == 1
+        tidx = int(rng.randint(0, pal_n))
+        packed = (disposal << 2) | (1 if transparent else 0)
+        out += bytes([0x21, 0xF9, 0x04, packed])
+        out += int(delay_cs + fi).to_bytes(2, "little")
+        out += bytes([tidx if transparent else 0, 0x00])
+        use_lct = fi % 3 == 2
+        interlace = fi % 4 == 3
+        out += b"\x2c"
+        out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+        out += bytes([(0x80 | (bits - 1) if use_lct else 0)
+                      | (0x40 if interlace else 0)])
+        if use_lct:
+            out += rng.randint(0, 256, size=(pal_n, 3)).astype(
+                np.uint8
+            ).tobytes()
+        idx = rng.randint(0, pal_n, size=(fh, fw)).astype(np.uint8)
+        if interlace:
+            idx = idx[_gif_interlace_order(fh)]
+        lzw = _lzw_encode_gif(max(2, bits), idx.tobytes())
+        out += bytes([max(2, bits)])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(
+    payload: bytes,
+) -> list[tuple[int, int, np.ndarray]]:
+    """Animated GIF -> [(ts_ms, duration_ms, RGB canvas copy)] — the
+    full GIF89a animation pipeline, pure stdlib + numpy: per-frame
+    Graphic Control Extensions (delay, transparency index, disposal
+    methods 0/1 leave, 2 restore-to-background, 3 restore-to-previous
+    per spec §23), sub-rect frames composited onto the logical screen,
+    global/local color tables, interlace. ts is the cumulative display
+    timeline (frame 0 at 0 ms; a frame's GCE delay is how long IT
+    stays up). Restore-to-background paints the GCT background color —
+    the 89a-spec reading; browsers' clear-to-transparent variant is a
+    rendering-model choice this RGB (no alpha) canvas cannot express."""
+    if payload[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    bg = (
+        gct[bg_index] if gct is not None and bg_index < len(gct)
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.empty((h, w, 3), np.uint8)
+    canvas[:] = bg
+    frames: list[tuple[int, int, np.ndarray]] = []
+    t_ms = 0
+    gce: tuple[int, int, int | None] | None = None  # delay, disp, tidx
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            subs = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                subs.extend(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and len(subs) >= 4:
+                gce = (
+                    int.from_bytes(subs[1:3], "little"),  # delay cs
+                    (subs[0] >> 2) & 0x07,                # disposal
+                    subs[3] if subs[0] & 0x01 else None,  # transp idx
+                )
+        elif block == 0x2C:  # image descriptor
+            left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+            iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(
+                    payload, np.uint8, n * 3, pos
+                ).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw.extend(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            indices = np.frombuffer(
+                _lzw_decode_gif(min_code, bytes(lzw), iw * ih), np.uint8
+            ).reshape(ih, iw)
+            if ipacked & 0x40:
+                rows = np.empty_like(indices)
+                rows[_gif_interlace_order(ih)] = indices
+                indices = rows
+            delay_cs, disposal, tidx = gce if gce else (0, 0, None)
+            prev = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + ih, left : left + iw]
+            if tidx is not None:
+                mask = indices != tidx
+                region[mask] = ct[indices[mask]]
+            else:
+                region[:] = ct[indices.reshape(-1)].reshape(ih, iw, 3)
+            frames.append((t_ms, delay_cs * 10, canvas.copy()))
+            t_ms += delay_cs * 10
+            if disposal == 2:
+                region[:] = bg
+            elif disposal == 3 and prev is not None:
+                canvas = prev
+            gce = None
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
 def decode_ppm(payload: bytes) -> np.ndarray:
     """Binary PPM (P6, maxval<=255) -> uint8 array (h, w, 3). Pure
     numpy; the header grammar is whitespace-separated tokens with
@@ -823,8 +997,9 @@ def decode_and_featurize(
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: emits (media_id, frame_ts_ms)
-    rows for each sample point from metadata — the decode of the actual
-    frame bytes is the stubbed step above."""
+    rows for each sample point from metadata — metadata-only (no
+    decode); frame_sample_decode below extracts real pixels for
+    formats with a native decoder."""
     from pyspark.sql import functions as F
 
     return (
@@ -837,3 +1012,64 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+FRAME_SCHEMA = (
+    "media_id string, sample_ms long, frame_idx int, n_frames int,"
+    " feature array<float>"
+)
+
+
+def frame_sample_decode(
+    media: DataFrame, every_ms: int = 40, dim: int = 8
+) -> DataFrame:
+    """REAL video frame sampling: decode each `kind == 'video'` payload
+    into its frame timeline, take a sample every `every_ms` ms over
+    the clip's duration, and featurize the frame on screen at each
+    tick (last frame whose display ts <= tick — the hold-previous
+    semantics of a video scrubber). Animated GIF (GIF89a, the one
+    video-ish container decodable without codec libraries — see
+    decode_gif_frames) decodes natively; real video containers
+    (MP4/WebM) raise NotImplementedError until codec libraries exist.
+
+    Scale shape: mapInPandas, partition-parallel across clips, no
+    shuffle; one clip's frames never leave its task, and each emitted
+    row is a fixed-width feature vector, so output size is
+    duration/every_ms rows per clip regardless of resolution."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "sample_ms": [], "frame_idx": [],
+                "n_frames": [], "feature": [],
+            }
+            for mid, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                if payload is None:
+                    continue
+                if mime != "image/gif":
+                    raise NotImplementedError(
+                        f"video container {mime!r} needs codec libraries "
+                        "not present in this environment (animated GIF "
+                        "decodes natively)"
+                    )
+                frames = decode_gif_frames(bytes(payload))
+                ts = np.array([f[0] for f in frames], np.int64)
+                total = int(frames[-1][0] + frames[-1][1])
+                feats = [None] * len(frames)
+                for tick in range(0, max(total, 1), every_ms):
+                    fi = int(np.searchsorted(ts, tick, side="right")) - 1
+                    fi = max(fi, 0)
+                    if feats[fi] is None:
+                        feats[fi] = _image_features(frames[fi][2], dim)
+                    out["media_id"].append(mid)
+                    out["sample_ms"].append(tick)
+                    out["frame_idx"].append(fi)
+                    out["n_frames"].append(len(frames))
+                    out["feature"].append(feats[fi])
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "mime", "payload"
+    ).mapInPandas(_run, FRAME_SCHEMA)
