@@ -1120,6 +1120,43 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling as a first-class query: a deterministic
+    corpus of animated GIF clips (seeded multi-frame GIF89a with
+    rotating disposal/transparency/local-palette/interlace variants,
+    built in-driver) through frame_sample_decode — the mapInPandas
+    stage that decodes each clip's frame timeline and featurizes the
+    frame on screen every 70 ms (hold-previous scrubber semantics).
+    Deterministic end-to-end, so the oracle is the pinned
+    expected-value table (tools/gen_oracle_pins.py; independent
+    correctness anchors = the hand-computed compositing tests in
+    tests/test_animated_gif.py, which must be green before regen)."""
+    from serimi_rdf_interlinking_spark.multimodal import (
+        MEDIA_SCHEMA,
+        frame_sample_decode,
+        synth_animated_gif,
+    )
+
+    rows = []
+    for i in range(8):
+        w, h = 8 + i % 5, 6 + i % 4
+        rows.append(
+            (f"vid{i:02d}", "video",
+             synth_animated_gif(w, h, n_frames=2 + i % 5, seed=2000 + i),
+             "image/gif", w, h, None)
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = frame_sample_decode(media, every_ms=70)
+    return (
+        out.select(
+            "media_id", "sample_ms", "frame_idx", "n_frames",
+            F.posexplode("feature").alias("feat_idx", "feat"),
+        )
+        .withColumn("feat", F.round(F.col("feat").cast("double"), 6))
+        .orderBy("media_id", "sample_ms", "feat_idx")
+    )
+
+
 def q_stream_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second streaming correctness row: the events table replayed
     through the watermarked event-time tumbling-window aggregation
@@ -1579,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize_ooo": q_stream_sessionize_ooo,
         "language_id": q_language_id,
         "media_features": q_media_features,
+        "video_frames": q_video_frames,
         "doc_split": q_doc_split,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -2606,6 +2644,23 @@ SELECT media_id, kind, n_bytes::BIGINT AS n_bytes, sha256,
 FROM (VALUES
   {media_vals}) t(media_id, kind, n_bytes, sha256, feat_idx, feat)
 ORDER BY media_id, feat_idx
+"""
+
+    # video frame sampling: same pinned-VALUES discipline as
+    # media_features (deterministic in-driver clips + deterministic
+    # decoder/sampler; anchors = hand-computed compositing tests)
+    vid_vals = ",\n  ".join(
+        f"('{_sq(mid)}', {int(sm)}, {int(fi)}, {int(nf)}, {int(fx)}, "
+        f"{_dlit(fv)})"
+        for mid, sm, fi, nf, fx, fv in pins["video_frames"]
+    )
+    sql["video_frames"] = f"""
+SELECT media_id, sample_ms::BIGINT AS sample_ms,
+       frame_idx::INTEGER AS frame_idx, n_frames::INTEGER AS n_frames,
+       feat_idx::INTEGER AS feat_idx, feat::DOUBLE AS feat
+FROM (VALUES
+  {vid_vals}) t(media_id, sample_ms, frame_idx, n_frames, feat_idx, feat)
+ORDER BY media_id, sample_ms, feat_idx
 """
 
     sql["fingerprint"] = f"""

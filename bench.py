@@ -69,6 +69,7 @@ HEADLINE = [
     "fingerprint",
     "pack_documents",
     "media_features",
+    "video_frames",
     "doc_split",
     # flagship end-to-end matcher (fixture-based, fixed size)
     "serimi_alignment",

@@ -40,6 +40,10 @@ PINS = {
     # slots now rotate two progressive variants (color 4:2:0 + gray)
     # into the corpus, changing its composition.
     "media_features": "aafa522077523a84b1eef3d965d53347",
+    # animated-GIF frame sampling (r5): deterministic clip corpus
+    # through decode_gif_frames + hold-previous timeline sampling;
+    # extra regression tooth next to the VALUES oracle
+    "video_frames": "9940595088f2fd54e859b7e3f187574e",
 }
 
 # the GEMM driver row became set-verified against the exact SQL top-k
