@@ -1093,18 +1093,20 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             # real JPEG decode: rotate baseline 4:4:4 / 4:2:0 /
-            # grayscale / restart-interval streams plus progressive
-            # SOF2 (color 4:2:0 and grayscale — r5)
+            # grayscale / restart-interval streams, progressive SOF2
+            # (color 4:2:0 and grayscale — r5) and a non-interleaved
+            # multi-scan baseline stream (r5)
             w, h = 18 + i % 7, 12 + i % 5
-            mode = (i // 5) % 6
+            mode = (i // 5) % 7
             rows.append(
                 (f"jpg{i:02d}", "image",
                  synth_jpeg(
                      w, h, seed=1000 + i,
                      gray=mode in (2, 5),
-                     subsample=mode in (1, 4),
+                     subsample=mode in (1, 4, 6),
                      restart_interval=2 if mode == 3 else 0,
-                     progressive=mode >= 4,
+                     progressive=mode in (4, 5),
+                     multiscan=mode == 6,
                  ),
                  "image/jpeg", w, h, None)
             )

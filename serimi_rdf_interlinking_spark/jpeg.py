@@ -7,10 +7,11 @@ approximation, all four scan kinds incl. the AC-refinement
 correction-bit algorithm and cross-block EOB runs), 8-bit samples, 1
 or 3 components, arbitrary Huffman tables from DHT (canonical
 reconstruction), arbitrary sampling factors up to the spec's MCU
-layout (4:4:4, 4:2:2, 4:2:0, grayscale), restart intervals (DRI +
-RSTn), APPn/COM skipped. Arithmetic coding, 12-bit and hierarchical
-modes raise NotImplementedError — the honest boundary of a
-from-scratch implementation.
+layout (4:4:4, 4:2:2, 4:2:0, grayscale), interleaved OR per-component
+non-interleaved scans (multi-scan baseline, A.2.2), restart intervals
+(DRI + RSTn), APPn/COM skipped. Arithmetic coding, 12-bit and
+hierarchical modes raise NotImplementedError — the honest boundary of
+a from-scratch implementation.
 
 Encoder (for tests + synthetic corpora): 4:4:4, 4:2:0 or grayscale,
 Annex-K quantization tables, single-length canonical Huffman tables
@@ -209,7 +210,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
-            if frame is not None and frame.get("progressive") and coefs:
+            # coefficient-accumulation streams (progressive OR
+            # non-interleaved multi-scan baseline) finish here
+            if frame is not None and coefs:
                 return _prog_finish(frame, coefs, qt)
             break
         if 0xD0 <= marker <= 0xD7:  # stray RST outside scan
@@ -284,13 +287,47 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 continue
             ns = body[0]
             if ns < len(frame["comps"]):
-                # legal baseline, but the scan loop below assumes one
-                # fully-interleaved scan — refuse clearly rather than
-                # KeyError/garbage (T.81 allows per-component scans)
-                raise NotImplementedError(
-                    "multi-scan baseline JPEG (scan has fewer "
-                    "components than the frame) needs a codec library"
+                if ns != 1:
+                    # partial interleave (1 < ns < frame comps) is
+                    # legal but vanishingly rare — refuse clearly
+                    raise NotImplementedError(
+                        "partially-interleaved baseline scan (1 < ns "
+                        "< frame components) is not supported"
+                    )
+                # NON-interleaved per-component baseline scan
+                # (T.81 A.2.2): this component's blocks in its own
+                # raster order, one block per MCU. Coefficients
+                # accumulate across scans into the SOF2 grids and the
+                # dequant+IDCT happens once at EOI.
+                if coefs is None:
+                    _prog_layout(frame)
+                    coefs = [
+                        np.zeros((g["bh"], g["bw"], 64), np.int32)
+                        for g in frame["grids"]
+                    ]
+                cs, td_ta = body[1], body[2]
+                ci = next(
+                    i for i, cc in enumerate(frame["comps"])
+                    if cc["id"] == cs
                 )
+                dc_dec = huff_dc[td_ta >> 4]
+                ac_dec = huff_ac[td_ta & 0x0F]
+                g = frame["grids"][ci]
+                br = _BitReader(payload, pos + length)
+                pred = [0]
+                for u in range(g["nbw"] * g["nbh"]):
+                    if dri and u and u % dri == 0:
+                        br.restart()
+                        pred = [0]
+                    row, col = divmod(u, g["nbw"])
+                    coefs[ci][row, col] = _decode_block_coefs(
+                        br, dc_dec, ac_dec, pred, 0
+                    )
+                if br.bit:  # align to the next marker boundary
+                    br.bit = 0
+                    br.pos += 2 if br.data[br.pos] == 0xFF else 1
+                pos = br.pos
+                continue
             tables = {}
             for c in range(ns):
                 cs, td_ta = body[1 + 2 * c : 3 + 2 * c]
@@ -360,8 +397,11 @@ def _finish_planes(planes, comps, hmax, vmax, h, w):
     return np.clip(np.round(img), 0, 255).astype(np.uint8)
 
 
-def _decode_block(br, dc_dec, ac_dec, q, pred, ci):
-    coef = np.zeros(64, np.float64)
+def _decode_block_coefs(br, dc_dec, ac_dec, pred, ci):
+    """One baseline-coded block -> zigzag coefficient vector (the
+    shared kernel of the direct pixel path and the coefficient-
+    accumulation path used by non-interleaved multi-scan streams)."""
+    coef = np.zeros(64, np.int32)
     size = dc_dec.read(br)
     pred[ci] += _extend(br.receive(size), size)
     coef[0] = pred[ci]
@@ -381,6 +421,11 @@ def _decode_block(br, dc_dec, ac_dec, q, pred, ci):
             raise ValueError("AC run past block end")
         coef[k] = _extend(br.receive(size), size)
         k += 1
+    return coef
+
+
+def _decode_block(br, dc_dec, ac_dec, q, pred, ci):
+    coef = _decode_block_coefs(br, dc_dec, ac_dec, pred, ci)
     blk = np.zeros(64, np.float64)
     blk[ZIGZAG] = coef  # coef is in zigzag order
     blk = blk.reshape(8, 8) * q
@@ -697,6 +742,7 @@ def encode_jpeg(
     subsample: bool = False,
     restart_interval: int = 0,
     progressive: bool = False,
+    multiscan: bool = False,
 ) -> bytes:
     """uint8 (h, w) or (h, w, 1|3) -> JPEG bytes (Annex-K quant
     tables, single-length Huffman tables). `subsample=True` writes
@@ -710,6 +756,8 @@ def encode_jpeg(
     so both decode bit-identically."""
     if progressive and restart_interval:
         raise ValueError("progressive encoder does not emit DRI")
+    if progressive and multiscan:
+        raise ValueError("multiscan selects the BASELINE scan layout")
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
@@ -746,6 +794,10 @@ def encode_jpeg(
             ).mean(axis=(1, 3))
     if progressive:
         return _encode_progressive(planes, hv, tqs, quants, h, w)
+    if multiscan:
+        return _encode_multiscan(
+            planes, hv, tqs, quants, h, w, ch, restart_interval
+        )
     bw = _BitWriter()
     pred = [0] * len(planes)
     mcus_x, mcus_y = pw // mcu_w, ph // mcu_h
@@ -768,6 +820,25 @@ def encode_jpeg(
                         quants[ci], pred, ci,
                     )
     bw.flush()
+    sos = _seg(
+        0xDA,
+        bytes([len(planes)])
+        + b"".join(bytes([cid + 1, 0x00]) for cid in range(len(planes)))
+        + b"\x00\x3f\x00",
+    )
+    return (
+        b"\xff\xd8"
+        + _baseline_headers(len(planes), ch, hv, tqs, h, w,
+                            restart_interval)
+        + sos + bytes(bw.out) + b"\xff\xd9"
+    )
+
+
+def _baseline_headers(
+    ncomp, ch, hv, tqs, h, w, restart_interval
+) -> bytes:
+    """DQT + SOF0 + DHT (+ DRI) — shared by the interleaved and the
+    non-interleaved (multi-scan) baseline encoders."""
 
     def zz_bytes(q):
         return bytes(int(x) for x in q.reshape(64)[ZIGZAG])
@@ -777,14 +848,14 @@ def encode_jpeg(
         dqt += _seg(0xDB, b"\x01" + zz_bytes(QUANT_CHROMA))
     sof_comps = b"".join(
         bytes([cid + 1, (hv[cid][0] << 4) | hv[cid][1], tqs[cid]])
-        for cid in range(len(planes))
+        for cid in range(ncomp)
     )
     sof = _seg(
         0xC0,
         bytes([8])
         + h.to_bytes(2, "big")
         + w.to_bytes(2, "big")
-        + bytes([len(planes)])
+        + bytes([ncomp])
         + sof_comps,
     )
     dht = _seg(
@@ -795,15 +866,46 @@ def encode_jpeg(
         if restart_interval
         else b""
     )
-    sos = _seg(
-        0xDA,
-        bytes([len(planes)])
-        + b"".join(bytes([cid + 1, 0x00]) for cid in range(len(planes)))
-        + b"\x00\x3f\x00",
-    )
+    return dqt + sof + dht + dri
+
+
+def _encode_multiscan(
+    planes, hv, tqs, quants, h, w, ch, restart_interval
+) -> bytes:
+    """Baseline NON-interleaved stream: one single-component SOS per
+    component, blocks in the component's own raster order (T.81
+    A.2.2) — same quantized coefficients as the interleaved stream,
+    so decode(multiscan) == decode(baseline) bit-for-bit."""
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+    scans = b""
+    for ci, p in enumerate(planes):
+        cw = -(-w * hv[ci][0] // hmax)
+        chh = -(-h * hv[ci][1] // vmax)
+        nbw, nbh = -(-cw // 8), -(-chh // 8)
+        bw = _BitWriter()
+        pred = [0]
+        rst = 0
+        for u in range(nbw * nbh):
+            if restart_interval and u and u % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0]
+            row, col = divmod(u, nbw)
+            _encode_block(
+                bw, p[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8],
+                quants[ci], pred, 0,
+            )
+        bw.flush()
+        scans += _seg(
+            0xDA, bytes([1, ci + 1, 0x00]) + b"\x00\x3f\x00"
+        ) + bytes(bw.out)
     return (
-        b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bw.out)
-        + b"\xff\xd9"
+        b"\xff\xd8"
+        + _baseline_headers(len(planes), ch, hv, tqs, h, w,
+                            restart_interval)
+        + scans + b"\xff\xd9"
     )
 
 
@@ -1059,12 +1161,13 @@ def synth_jpeg(
     subsample: bool = False,
     restart_interval: int = 0,
     progressive: bool = False,
+    multiscan: bool = False,
 ) -> bytes:
     """Deterministic synthetic JPEG payload: a seeded smooth gradient
     plus mild noise (JPEG-friendly content, so reconstruction error
     stays small and tests can bound it). subsample/restart_interval/
-    progressive pass through to encode_jpeg to produce 4:2:0 / RSTn /
-    SOF2 streams."""
+    progressive/multiscan pass through to encode_jpeg to produce
+    4:2:0 / RSTn / SOF2 / non-interleaved streams."""
     rng = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     base = (
@@ -1086,4 +1189,5 @@ def synth_jpeg(
     return encode_jpeg(
         img, subsample=subsample and not gray,
         restart_interval=restart_interval, progressive=progressive,
+        multiscan=multiscan,
     )

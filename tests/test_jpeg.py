@@ -136,10 +136,36 @@ def test_fill_bytes_before_markers_are_skipped():
     assert np.array_equal(got, want)
 
 
-def test_multi_scan_baseline_rejected_clearly():
+def test_multiscan_baseline_decodes_bit_identical_to_interleaved():
     """A legal baseline JPEG may send per-component scans (ns < frame
-    ncomp); the interleaved-scan decoder must refuse with a clear
-    NotImplementedError instead of a raw KeyError (round-4 advice)."""
+    ncomp, T.81 A.2.2). The multiscan encoder writes the SAME
+    quantized coefficients as the interleaved stream, so both decode
+    bit-for-bit equal — a closed oracle over the scan layout
+    (including restart intervals WITHIN a component scan)."""
+    rng = np.random.RandomState(11)
+    for (w, h, gray, sub, dri) in [
+        (18, 12, False, False, 0),
+        (17, 11, False, True, 0),
+        (16, 16, True, False, 0),
+        (24, 13, False, False, 2),
+        (9, 7, False, True, 3),
+    ]:
+        shape = (h, w) if gray else (h, w, 3)
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        base = J.decode_jpeg(
+            J.encode_jpeg(img, subsample=sub, restart_interval=dri)
+        )
+        multi = J.decode_jpeg(
+            J.encode_jpeg(
+                img, subsample=sub, restart_interval=dri, multiscan=True
+            )
+        )
+        assert np.array_equal(base, multi), (w, h, gray, sub, dri)
+
+
+def test_partially_interleaved_scan_rejected_clearly():
+    """ns == 2 of a 3-component frame (partial interleave) is legal
+    but unsupported — must refuse clearly, not KeyError/garbage."""
     sof = (
         b"\xff\xc0" + (2 + 6 + 9).to_bytes(2, "big")
         + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
@@ -147,10 +173,10 @@ def test_multi_scan_baseline_rejected_clearly():
         + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
     )
     sos = (
-        b"\xff\xda" + (2 + 1 + 2 + 3).to_bytes(2, "big")
-        + bytes([1]) + bytes([1, 0x00]) + bytes([0, 63, 0])
+        b"\xff\xda" + (2 + 1 + 4 + 3).to_bytes(2, "big")
+        + bytes([2]) + bytes([1, 0x00, 2, 0x11]) + bytes([0, 63, 0])
     )
-    with pytest.raises(NotImplementedError, match="multi-scan"):
+    with pytest.raises(NotImplementedError, match="interleaved"):
         J.decode_jpeg(b"\xff\xd8" + sof + sos)
 
 

@@ -38,8 +38,10 @@ PINS = {
     # rows joined the corpus when sub-8-bit decode landed. Repinned
     # once more when progressive-JPEG (SOF2) decode landed: the JPEG
     # slots now rotate two progressive variants (color 4:2:0 + gray)
-    # into the corpus, changing its composition.
-    "media_features": "aafa522077523a84b1eef3d965d53347",
+    # into the corpus, changing its composition; and once more when
+    # non-interleaved multi-scan baseline decode landed (one multiscan
+    # 4:2:0 slot joined the rotation).
+    "media_features": "1abc17942ccf083838be329c995d804a",
     # animated-GIF frame sampling (r5): deterministic clip corpus
     # through decode_gif_frames + hold-previous timeline sampling;
     # extra regression tooth next to the VALUES oracle
