@@ -1159,6 +1159,53 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only container probe as a first-class query: an 11-row
+    corpus covering every container the probe parses (PNG static +
+    interlaced-palette, GIF static + animated, JPEG baseline +
+    progressive, WAV, PPM, ISO-BMFF v0 + v1 boxes, and a no-magic
+    blob) through probe_media. Unlike the pinned media oracles, this
+    oracle is HAND-WRITTEN from the synth parameters (ground truth
+    known before any parser runs) — fully independent of the
+    implementation."""
+    from serimi_rdf_interlinking_spark.mediaprobe import (
+        probe_media,
+        synth_mp4,
+    )
+    from serimi_rdf_interlinking_spark.multimodal import (
+        MEDIA_SCHEMA,
+        synth_animated_gif,
+        synth_gif,
+        synth_png,
+        synth_ppm,
+        synth_wav,
+    )
+
+    from serimi_rdf_interlinking_spark.jpeg import synth_jpeg
+
+    payloads = [
+        synth_ppm(4, 3, seed=1),
+        synth_png(5, 4, seed=2, color_type=2),
+        synth_png(6, 5, seed=3, color_type=3, bit_depth=4,
+                  interlace=True),
+        synth_gif(6, 4, seed=4),
+        synth_animated_gif(8, 6, n_frames=4, seed=5),
+        synth_jpeg(18, 12, seed=6),
+        synth_jpeg(17, 11, seed=7, progressive=True),
+        synth_wav(4000, seed=8),
+        synth_mp4(640, 360, 12345),
+        synth_mp4(320, 240, 7000, timescale=90000, version=1,
+                  brand=b"mp42"),
+        b"\x00\x01\x02 no magic here",
+    ]
+    rows = [
+        (f"probe{i:02d}", "media", p, None, None, None, None)
+        for i, p in enumerate(payloads)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return probe_media(media).orderBy("media_id")
+
+
 def q_stream_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second streaming correctness row: the events table replayed
     through the watermarked event-time tumbling-window aggregation
@@ -1619,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "media_features": q_media_features,
         "video_frames": q_video_frames,
+        "media_probe": q_media_probe,
         "doc_split": q_doc_split,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -2646,6 +2694,33 @@ SELECT media_id, kind, n_bytes::BIGINT AS n_bytes, sha256,
 FROM (VALUES
   {media_vals}) t(media_id, kind, n_bytes, sha256, feat_idx, feat)
 ORDER BY media_id, feat_idx
+"""
+
+    # container probe: HAND-WRITTEN from the synth parameters (the
+    # ground truth each stream was built with — PNG IHDR fields, GIF
+    # frame delays 5+i cs, WAV samples/rate, mvhd duration/timescale),
+    # so this oracle is independent of the probe implementation
+    sql["media_probe"] = """
+SELECT media_id, container, variant, width::INTEGER AS width,
+       height::INTEGER AS height, n_frames::INTEGER AS n_frames,
+       duration_ms::BIGINT AS duration_ms,
+       sample_rate::INTEGER AS sample_rate,
+       channels::INTEGER AS channels, bit_depth::INTEGER AS bit_depth
+FROM (VALUES
+  ('probe00', 'ppm', 'p6', 4, 3, 1, NULL, NULL, 3, 8),
+  ('probe01', 'png', 'static', 5, 4, 1, NULL, NULL, 3, 8),
+  ('probe02', 'png', 'interlaced', 6, 5, 1, NULL, NULL, 1, 4),
+  ('probe03', 'gif', 'static', 6, 4, 1, NULL, NULL, 3, 8),
+  ('probe04', 'gif', 'animated', 8, 6, 4, 260, NULL, 3, 8),
+  ('probe05', 'jpeg', 'baseline', 18, 12, 1, NULL, NULL, 3, 8),
+  ('probe06', 'jpeg', 'progressive', 17, 11, 1, NULL, NULL, 3, 8),
+  ('probe07', 'wav', 'pcm', NULL, NULL, NULL, 500, 8000, 1, 16),
+  ('probe08', 'mp4', 'isom', 640, 360, NULL, 12345, NULL, NULL, NULL),
+  ('probe09', 'mp4', 'mp42', 320, 240, NULL, 7000, NULL, NULL, NULL),
+  ('probe10', 'unknown', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)
+) t(media_id, container, variant, width, height, n_frames,
+    duration_ms, sample_rate, channels, bit_depth)
+ORDER BY media_id
 """
 
     # video frame sampling: same pinned-VALUES discipline as

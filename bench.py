@@ -70,6 +70,7 @@ HEADLINE = [
     "pack_documents",
     "media_features",
     "video_frames",
+    "media_probe",
     "doc_split",
     # flagship end-to-end matcher (fixture-based, fixed size)
     "serimi_alignment",
