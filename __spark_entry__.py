@@ -1159,6 +1159,37 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north_star's fuzzy selection tier as a first-class query:
+    LSH-blocked similarity join between part names and their
+    deterministically-perturbed variants (3rd character dropped — a
+    typo no exact token-equality tier can retrieve). Character
+    4-shingle minhash, 12 hashes x 4 bands, exact-Jaccard verify at
+    0.5. The DuckDB oracle replays the whole pipeline — shingling,
+    the md5->XOR minhash family, band keys, the cross-side bucket
+    join and the verification — value-exactly."""
+    from serimi_rdf_interlinking_spark.operators.blocking import (
+        lsh_label_join,
+    )
+
+    part = _read(spark, sf_dir, "part").filter(F.col("p_partkey") <= 120)
+    src = part.select(
+        F.concat(F.lit("S"), F.col("p_partkey").cast("string")).alias(
+            "src_id"
+        ),
+        F.col("p_name").alias("label"),
+    )
+    tgt = part.select(
+        F.concat(F.lit("T"), F.col("p_partkey").cast("string")).alias(
+            "tgt_id"
+        ),
+        F.expr(
+            "concat(substring(p_name, 1, 2), substring(p_name, 4))"
+        ).alias("label"),
+    )
+    return lsh_label_join(src, tgt, verify_threshold=0.5)
+
+
 def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only container probe as a first-class query: an 11-row
     corpus covering every container the probe parses (PNG static +
@@ -1667,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "video_frames": q_video_frames,
         "media_probe": q_media_probe,
+        "lsh_label_join": q_lsh_label_join,
         "doc_split": q_doc_split,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -1987,6 +2019,85 @@ JOIN sizes sa ON sa.id = c.id_a
 JOIN sizes sb ON sb.id = c.id_b
 WHERE round(co.co / (sa.n_sh + sb.n_sh - co.co), 6) >= {thr}
 ORDER BY c.id_a, c.id_b
+"""
+
+
+def _lsh_label_join_sql(
+    num_hashes: int, bands: int, k: int, thr: float
+) -> str:
+    """Full-pipeline mirror of operators/blocking.lsh_label_join over
+    the part-name corpus of q_lsh_label_join: char shingling (substr
+    truncation semantics match Spark), the md5->XOR minhash family,
+    order-insensitive band keys, cross-side bucket join, exact-Jaccard
+    verify."""
+    from serimi_rdf_interlinking_spark.operators.dedup import _XOR_SEEDS
+
+    r = num_hashes // bands
+    seed_values = ", ".join(
+        f"({s}, {_XOR_SEEDS[s]})" for s in range(num_hashes)
+    )
+
+    def side(name: str, base: str) -> str:
+        return f"""
+{name}_nrm AS (
+  SELECT id, lower(trim(regexp_replace(label, '[^A-Za-z0-9]+', ' ', 'g')))
+         AS nrm
+  FROM {name}_base
+),
+{name}_sh AS (
+  SELECT DISTINCT id,
+         substr(nrm,
+                unnest(generate_series(
+                  1, greatest(length(nrm) - {k - 1}, 1)))::INTEGER,
+                {k}) AS sh
+  FROM {name}_nrm
+),
+{name}_hashed AS (
+  SELECT id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS x
+  FROM {name}_sh
+),
+{name}_sig AS (
+  SELECT id, seed, min(xor(x, kk)) AS minhash
+  FROM {name}_hashed, (VALUES {seed_values}) t(seed, kk)
+  GROUP BY id, seed
+),
+{name}_banded AS (
+  SELECT id, (seed // {r}) AS band,
+         string_agg(minhash::VARCHAR, '-' ORDER BY minhash) AS band_key
+  FROM {name}_sig GROUP BY id, (seed // {r})
+),
+{name}_sizes AS (SELECT id, count(*) AS n FROM {name}_sh GROUP BY id)"""
+
+    return f"""
+WITH src_base AS (
+  SELECT 'S' || p_partkey::VARCHAR AS id, p_name AS label
+  FROM part WHERE p_partkey <= 120
+),
+tgt_base AS (
+  SELECT 'T' || p_partkey::VARCHAR AS id,
+         substr(p_name, 1, 2) || substr(p_name, 4) AS label
+  FROM part WHERE p_partkey <= 120
+),{side("src", "src_base")},{side("tgt", "tgt_base")},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM src_banded a JOIN tgt_banded b
+    ON a.band = b.band AND a.band_key = b.band_key
+),
+co AS (
+  SELECT c.id_a, c.id_b, count(*) AS co
+  FROM cand c
+  JOIN src_sh a ON a.id = c.id_a
+  JOIN tgt_sh b ON b.id = c.id_b AND b.sh = a.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a AS src_id, c.id_b AS tgt_id,
+       round(co.co / (sa.n + sb.n - co.co), 6) AS jaccard
+FROM cand c
+JOIN co ON co.id_a = c.id_a AND co.id_b = c.id_b
+JOIN src_sizes sa ON sa.id = c.id_a
+JOIN tgt_sizes sb ON sb.id = c.id_b
+WHERE round(co.co / (sa.n + sb.n - co.co), 6) >= {thr}
+ORDER BY src_id, tgt_id
 """
 
 
@@ -2382,6 +2493,7 @@ ORDER BY keyed.doc_id
                "BIGINT)) FROM documents",
     )
     sql["dedup_minhash_lsh"] = _minhash_lsh_sql(12, 4, 3, 0.5)
+    sql["lsh_label_join"] = _lsh_label_join_sql(12, 4, 4, 0.5)
 
     # transitive closure over the LSH pair graph via a recursive CTE —
     # exact oracle for the iterative min-label-propagation clusters

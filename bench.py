@@ -55,6 +55,7 @@ HEADLINE = [
     "stream_sessionize",
     "stream_sessionize_ooo",
     "dedup_minhash_lsh",
+    "lsh_label_join",
     "dedup_clusters",
     "dedup_canonical",
     "simhash",

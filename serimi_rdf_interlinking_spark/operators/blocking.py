@@ -117,3 +117,149 @@ def blocking_order(
         .cast("long")
     )
     return ranked.withColumn("chunk_id", chunk)
+
+
+# ---------------------------------------------------------------------------
+# LSH-blocked label similarity join (north_star selection tier)
+# ---------------------------------------------------------------------------
+
+
+def _char_shingle_rows(
+    df: DataFrame, id_col: str, label_col: str, k: int
+) -> DataFrame:
+    """(id, sh) distinct character k-shingles of the keyword-normalized
+    label. Labels shorter than k yield one shingle (the whole label) —
+    substr past the end truncates identically in Spark and DuckDB, so
+    the SQL oracle mirrors bit-for-bit."""
+    from .dedup import _norm
+
+    base = df.select(F.col(id_col).alias("id"), _norm(label_col).alias("nrm"))
+    n_sh = F.greatest(F.length("nrm") - F.lit(k - 1), F.lit(1))
+    return base.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_sh),
+                    lambda i: F.col("nrm").substr(i, F.lit(k)),
+                )
+            )
+        ).alias("sh"),
+    )
+
+
+def _char_minhash_banded(
+    sh: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, band_key) from char-shingle rows — same integer
+    md5->XOR minhash family and order-insensitive band keys as the
+    dedup LSH (operators/dedup.py minhash_signatures; see its shape
+    notes for why this stays in primitive agg buffers)."""
+    from .dedup import _XOR_SEEDS
+
+    r = num_hashes // bands
+    x = (
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("x")
+    )
+    hashed = sh.select("id", x).select(
+        "id",
+        *[
+            F.col("x").bitwiseXOR(F.lit(_XOR_SEEDS[s])).alias(f"h{s}")
+            for s in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)]
+    )
+    exploded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.col(f"m{s}") for s in range(num_hashes)])
+        ).alias("seed", "minhash"),
+    )
+    return (
+        exploded.withColumn("band", F.floor(F.col("seed") / r))
+        .groupBy("id", "band")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.sort_array(F.collect_list("minhash")),
+                    lambda m: m.cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+
+
+def lsh_label_join(
+    src: DataFrame,
+    tgt: DataFrame,
+    src_id: str = "src_id",
+    src_label: str = "label",
+    tgt_id: str = "tgt_id",
+    tgt_label: str = "label",
+    num_hashes: int = 12,
+    bands: int = 4,
+    k: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """LSH-blocked similarity join between two label sets — the
+    north_star's fuzzy selection tier ("LSH-blocked similarity join on
+    rdfs:label/name predicates") next to the exact tokenized
+    inverted-index retrieval (operators/candidates.py): character
+    k-shingle minhash signatures per side, band-bucket equi-join
+    ACROSS the two sides (never a self all-pairs), then exact
+    character-Jaccard verification bounded to the LSH candidates.
+    Catches typo/spacing variants where no full token matches exactly.
+    Returns (src_id, tgt_id, jaccard >= verify_threshold).
+
+    Scale shape: both sides shuffle once on (band, band_key) — the
+    join never materializes src x tgt; verification work is linear in
+    |candidates| x shingles-per-label. Token-frequency skew does not
+    apply (band keys are near-uniform minhash tuples); a pathological
+    all-identical-label corpus degrades to the true duplicate set,
+    which is the correct answer, not a skew artifact."""
+    assert num_hashes % bands == 0
+    src_sh = _char_shingle_rows(src, src_id, src_label, k)
+    tgt_sh = _char_shingle_rows(tgt, tgt_id, tgt_label, k)
+    a = _char_minhash_banded(src_sh, num_hashes, bands).select(
+        F.col("id").alias("id_a"), "band", "band_key"
+    )
+    b = _char_minhash_banded(tgt_sh, num_hashes, bands).select(
+        F.col("id").alias("id_b"), "band", "band_key"
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes_a = src_sh.groupBy("id").agg(F.count("*").alias("n_a"))
+    sizes_b = tgt_sh.groupBy("id").agg(F.count("*").alias("n_b"))
+    co = (
+        cand.join(src_sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(tgt_sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("co"))
+    )
+    return (
+        co.join(sizes_a, co.id_a == sizes_a.id)
+        .drop("id")
+        .join(sizes_b, co.id_b == sizes_b.id)
+        .drop("id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("co") / (F.col("n_a") + F.col("n_b") - F.col("co")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select(
+            F.col("id_a").alias("src_id"),
+            F.col("id_b").alias("tgt_id"),
+            "jaccard",
+        )
+        .orderBy("src_id", "tgt_id")
+    )
