@@ -47,11 +47,25 @@ class PipelineResult:
 class KGPipeline:
     STAGES = ["extract", "link", "canonicalize", "materialize"]
 
-    def __init__(self, cfg: SerimiConfig, checkpoint_dir: str, run_id: str = "run0"):
+    def __init__(
+        self,
+        cfg: SerimiConfig,
+        checkpoint_dir: str,
+        run_id: str = "run0",
+        lsh_recovery: bool = False,
+        lsh_recovery_threshold: float = 0.5,
+    ):
         self.cfg = cfg
         self.root = os.path.join(checkpoint_dir, run_id)
         self.run_id = run_id
         self._state_path = os.path.join(self.root, "_state.json")
+        # opt-in second selection tier (north_star: "tokenized
+        # inverted-index broadcast + LSH-blocked similarity join on
+        # rdfs:label/name predicates"): mentions the exact-token
+        # matcher left unlinked get a fuzzy LSH pass. Default off —
+        # the reference-parity alignment pins cover the default path.
+        self.lsh_recovery = lsh_recovery
+        self.lsh_recovery_threshold = lsh_recovery_threshold
 
     # -- state ---------------------------------------------------------------
     def _state(self) -> dict:
@@ -165,7 +179,15 @@ class KGPipeline:
             res = matcher.run(
                 spark, mentions, target, "mention://class/Entity"
             )
-            res.alignments.write.mode("overwrite").parquet(al_path)
+            aligned = res.alignments
+            if self.lsh_recovery:
+                aligned = aligned.unionByName(
+                    lsh_recovery_alignments(
+                        mentions, target, aligned,
+                        threshold=self.lsh_recovery_threshold,
+                    )
+                )
+            aligned.write.mode("overwrite").parquet(al_path)
             alignments = spark.read.parquet(al_path)
             self._lineage_append(
                 spark, "link", mentions.count(), alignments.count()
@@ -288,6 +310,55 @@ class KGPipeline:
             stages_run=ran,
             stages_skipped=skipped,
         )
+
+
+def lsh_recovery_alignments(
+    mentions: DataFrame,
+    target: DataFrame,
+    matched: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Second selection tier (north_star): mentions the exact-token
+    matcher left unlinked, recovered by an LSH-blocked similarity join
+    between their surface labels and the target's rdfs:label/name
+    literals — typo/spacing variants share no exact token, so the
+    inverted-index tier cannot retrieve them, but character-shingle
+    minhash buckets can. One candidate per mention: the
+    highest-jaccard target (ties broken by max target URI — any
+    deterministic rule works; the struct-max keeps it one aggregate).
+
+    Scale shape: anti-join (matched side broadcast-able — alignments
+    are mention-bounded), then the banded LSH join; nothing here
+    touches an all-pairs axis. Returns (source, target, score)."""
+    from ..operators.blocking import lsh_label_join
+    from ..sources.triples import RDFS_LABEL
+
+    unmatched = (
+        mentions.filter(F.col("p") == RDFS_LABEL)
+        .join(
+            matched.select(F.col("source").alias("s")), "s", "left_anti"
+        )
+        .select(F.col("s").alias("src_id"), F.col("o").alias("label"))
+    )
+    tgt_labels = (
+        target.filter(
+            (F.col("p") == RDFS_LABEL) | F.col("p").endswith("name")
+        )
+        .filter(~F.col("o_is_uri"))
+        .select(F.col("s").alias("tgt_id"), F.col("o").alias("label"))
+    )
+    pairs = lsh_label_join(
+        unmatched, tgt_labels, verify_threshold=threshold
+    )
+    return (
+        pairs.groupBy("src_id")
+        .agg(F.max(F.struct("jaccard", "tgt_id")).alias("best"))
+        .select(
+            F.col("src_id").alias("source"),
+            F.col("best.tgt_id").alias("target"),
+            F.col("best.jaccard").alias("score"),
+        )
+    )
 
 
 def elapsed(fn, *args, **kwargs):

@@ -291,3 +291,70 @@ def test_connected_components_driver_path_equals_distributed(spark):
         for r in connected_components(edges, driver_threshold=0).collect()
     }
     assert local == dist and len(local) > 0
+
+
+def test_lsh_recovery_alignments_direct(spark):
+    """Recovery tier kernel: an unmatched typo'd mention links to the
+    right target via the char-shingle LSH join; matched mentions are
+    anti-joined away; URI-valued and unrelated labels never match.
+    'Centro Hospitlar' shares NO exact token with 'Centro Hospitalar',
+    so the inverted-index tier cannot retrieve it by construction."""
+    from serimi_rdf_interlinking_spark.plans.pipeline import (
+        lsh_recovery_alignments,
+    )
+    from serimi_rdf_interlinking_spark.sources.triples import (
+        RDFS_LABEL,
+        TRIPLE_SCHEMA,
+    )
+
+    mentions = spark.createDataFrame(
+        [
+            ("m://CH", RDFS_LABEL, "Centro Hospitlar de Lisboa", False,
+             False),
+            ("m://AP", RDFS_LABEL, "Apollo Theatre", False, False),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    target = spark.createDataFrame(
+        [
+            ("t://chl", RDFS_LABEL, "Centro Hospitalar de Lisboa",
+             False, False),
+            ("t://ap", "http://xmlns.com/foaf/0.1/name",
+             "Apollo Theatre", False, False),
+            ("t://other", RDFS_LABEL, "Something Else Entirely",
+             False, False),
+            ("t://u", RDFS_LABEL, "t://not-a-literal", True, False),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    matched = spark.createDataFrame(
+        [("m://AP", "t://ap", 1.0)],
+        "source string, target string, score double",
+    )
+    rec = lsh_recovery_alignments(mentions, target, matched).collect()
+    assert len(rec) == 1
+    assert rec[0].source == "m://CH"
+    assert rec[0].target == "t://chl"
+    assert rec[0].score >= 0.5
+
+
+def test_pipeline_lsh_recovery_flag(spark, fixture_small, triple_dfs, tmp_path):
+    """Opt-in flag: recovered alignments UNION with (never replace)
+    the matcher's; default-off path stays byte-identical to the
+    pinned behavior; downstream canonicalize consumes the union."""
+    _src, tgt = triple_dfs
+    pages = _pages_df(spark, fixture_small)
+    cfg = SerimiConfig(chunk=10, topk=1)
+
+    off = KGPipeline(cfg, str(tmp_path / "off"), run_id="o").run(
+        spark, pages, tgt, stop_after="link"
+    )
+    on = KGPipeline(
+        cfg, str(tmp_path / "on"), run_id="n", lsh_recovery=True
+    ).run(spark, pages, tgt, stop_after="link")
+    base = {(r.source, r.target) for r in off.alignments.collect()}
+    rec = {(r.source, r.target) for r in on.alignments.collect()}
+    assert base <= rec
+    extra = rec - base
+    # every recovered mention was UNMATCHED in the base run
+    assert {s for s, _ in extra}.isdisjoint({s for s, _ in base})
