@@ -221,7 +221,12 @@ def lsh_label_join(
     |candidates| x shingles-per-label. Token-frequency skew does not
     apply (band keys are near-uniform minhash tuples); a pathological
     all-identical-label corpus degrades to the true duplicate set,
-    which is the correct answer, not a skew artifact."""
+    which is the correct answer, not a skew artifact. Each side's
+    shingle frame is re-derived by its 3 consumers (banding, sizes,
+    verify) instead of persisted — same trade as minhash_lsh_pairs
+    (operators/dedup.py): shingling is a linear stateless map over
+    label rows, and a persist inside an operator races against itself
+    when the consumers run within one action."""
     assert num_hashes % bands == 0
     src_sh = _char_shingle_rows(src, src_id, src_label, k)
     tgt_sh = _char_shingle_rows(tgt, tgt_id, tgt_label, k)
