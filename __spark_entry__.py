@@ -1052,15 +1052,23 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for i in range(64):
         if i % 5 == 0:
+            # every third PPM slot is 16-bit (2-byte big-endian raster)
             w, h = 4 + i % 5, 3 + i % 4
+            mv = 65535 if (i // 5) % 3 == 2 else 255
             rows.append(
-                (f"img{i:02d}", "image", synth_ppm(w, h, seed=1000 + i),
+                (f"img{i:02d}", "image",
+                 synth_ppm(w, h, seed=1000 + i, maxval=mv),
                  "image/x-portable-pixmap", w, h, None)
             )
         elif i % 5 == 1:
+            # rotate the full WAV sample-type surface: PCM 16/8/24/32
+            # + IEEE float32 (all decode onto one int16 sample space)
             n = 200 + i * 7
+            bits, flt = ((16, False), (8, False), (24, False),
+                         (32, False), (32, True))[(i // 5) % 5]
             rows.append(
-                (f"aud{i:02d}", "audio", synth_wav(n, seed=1000 + i),
+                (f"aud{i:02d}", "audio",
+                 synth_wav(n, seed=1000 + i, bits=bits, ieee_float=flt),
                  "audio/wav", None, None, n * 1000 // 8000)
             )
         elif i % 5 == 2:

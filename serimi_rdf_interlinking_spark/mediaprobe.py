@@ -151,7 +151,9 @@ def _probe_wav(p: bytes) -> dict:
         if cid == b"fmt ":
             body = p[pos + 8 : pos + 8 + ln]
             fmt = int.from_bytes(body[0:2], "little")
-            out["variant"] = "pcm" if fmt == 1 else f"fmt{fmt}"
+            out["variant"] = {1: "pcm", 3: "ieee_float"}.get(
+                fmt, f"fmt{fmt}"
+            )
             out["channels"] = int.from_bytes(body[2:4], "little")
             out["sample_rate"] = int.from_bytes(body[4:8], "little")
             out["bit_depth"] = int.from_bytes(body[14:16], "little")

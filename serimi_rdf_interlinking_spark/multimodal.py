@@ -5,8 +5,10 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 mapInPandas stages.
 
 Decode support: UNCOMPRESSED formats decode for real with numpy alone
-— PPM (P6) images and PCM16 WAV audio (round 3) — and the three
-dominant web image formats decode for real since round 4: PNG through
+— PPM (P6, 8- and 16-bit maxval) images and WAV audio (integer PCM at
+8/16/24/32 bits + IEEE float32/64, all landing on one int16 sample
+space) — and the three dominant web image formats decode for real
+since round 4: PNG through
 stdlib zlib (the full RFC 2083 static profile since r5 — color types
 0/2/3/4/6, bit depths 1/2/4/8/16, all five scanline filters, Adam7
 interlace), GIF through a from-scratch LZW codec (single frame,
@@ -17,9 +19,10 @@ restart intervals — baseline SOF0/1 plus progressive SOF2 spectral
 selection + successive approximation since r5), including
 nearest-neighbor resize and per-channel/signal features, all tested
 against numpy references. Formats genuinely needing libraries absent
-from this container (MP3/MP4, arithmetic/lossless/hierarchical JPEG,
-animated GIF beyond the first frame) raise NotImplementedError with a
-clear message; `fake_decode=True` keeps the deterministic byte-level
+from this container (MP3/MP4 SAMPLES — container metadata probes via
+mediaprobe.py — and arithmetic/lossless/hierarchical JPEG) raise
+NotImplementedError with a clear message; animated GIF decodes fully
+(decode_gif_frames + frame_sample_decode below); `fake_decode=True` keeps the deterministic byte-level
 fake for plumbing tests. Further real codec decoders drop into
 `_decode_real` without touching the Spark plumbing.
 """
@@ -62,24 +65,63 @@ def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in h[:dim]]
 
 
-def synth_ppm(w: int, h: int, seed: int = 0) -> bytes:
-    """Deterministic synthetic P6 PPM payload (seeded numpy bytes)."""
+def synth_ppm(w: int, h: int, seed: int = 0, maxval: int = 255) -> bytes:
+    """Deterministic synthetic P6 PPM payload (seeded numpy bytes);
+    maxval > 255 emits the 2-byte-per-sample big-endian raster."""
     rng = np.random.RandomState(seed)
-    img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
-    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+    if maxval > 255:
+        img = rng.randint(0, maxval + 1, size=(h, w, 3)).astype(">u2")
+    else:
+        img = rng.randint(0, maxval + 1, size=(h, w, 3)).astype(np.uint8)
+    return f"P6\n{w} {h}\n{maxval}\n".encode() + img.tobytes()
 
 
-def synth_wav(n: int, rate: int = 8000, channels: int = 1, seed: int = 0) -> bytes:
-    """Deterministic synthetic RIFF/WAVE PCM16 payload."""
+def synth_wav(
+    n: int,
+    rate: int = 8000,
+    channels: int = 1,
+    seed: int = 0,
+    bits: int = 16,
+    ieee_float: bool = False,
+) -> bytes:
+    """Deterministic synthetic RIFF/WAVE payload: integer PCM at
+    8/16/24/32 bits or IEEE float32/64 (`ieee_float=True` with
+    bits=32/64). The underlying signal is the same seeded int16 ramp
+    for every format, widened/narrowed per the container's sample
+    type, so cross-format decode tests can compare signals."""
     rng = np.random.RandomState(seed)
-    data = rng.randint(-20000, 20000, size=(n, channels)).astype("<i2").tobytes()
+    base = rng.randint(-20000, 20000, size=(n, channels)).astype(np.int16)
+    if ieee_float:
+        fmt_code = 3
+        dt = "<f4" if bits == 32 else "<f8"
+        # scale by 32767 so decode's round(f * 32767) round-trips the
+        # int16 signal exactly
+        data = (base.astype(np.float64) / 32767.0).astype(dt).tobytes()
+    else:
+        fmt_code = 1
+        if bits == 16:
+            data = base.astype("<i2").tobytes()
+        elif bits == 8:
+            data = ((base.astype(np.int32) >> 8) + 128).astype(
+                np.uint8
+            ).tobytes()
+        elif bits == 24:
+            as32 = (base.astype(np.int32) << 8).astype("<i4").tobytes()
+            # drop every 4th byte: little-endian 32 -> packed 24
+            arr = np.frombuffer(as32, np.uint8).reshape(-1, 4)[:, :3]
+            data = arr.tobytes()
+        elif bits == 32:
+            data = (base.astype(np.int32) << 16).astype("<i4").tobytes()
+        else:
+            raise ValueError(f"unsupported synth bits {bits}")
+    block = channels * bits // 8
     fmt = (
-        (1).to_bytes(2, "little")
+        fmt_code.to_bytes(2, "little")
         + channels.to_bytes(2, "little")
         + rate.to_bytes(4, "little")
-        + (rate * channels * 2).to_bytes(4, "little")
-        + (channels * 2).to_bytes(2, "little")
-        + (16).to_bytes(2, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
     )
     body = (
         b"WAVE"
@@ -796,9 +838,10 @@ def decode_gif_frames(
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6, maxval<=255) -> uint8 array (h, w, 3). Pure
-    numpy; the header grammar is whitespace-separated tokens with
-    '#' comments (Netpbm spec)."""
+    """Binary PPM (P6) -> uint8 (maxval<=255) or uint16 (2-byte
+    big-endian samples) array (h, w, 3). Pure numpy; the header
+    grammar is whitespace-separated tokens with '#' comments
+    (Netpbm spec)."""
     tokens: list[bytes] = []
     i = 0
     while len(tokens) < 4:
@@ -817,16 +860,24 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if tokens[0] != b"P6":
         raise ValueError(f"not a P6 PPM: magic {tokens[0]!r}")
     w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
-    if maxval > 255:
-        raise ValueError("16-bit PPM not supported")
+    if not 0 < maxval < 65536:
+        raise ValueError(f"PPM maxval {maxval} out of range")
     i += 1  # single whitespace after maxval
+    if maxval > 255:  # 2-byte big-endian samples (Netpbm spec)
+        raster = np.frombuffer(payload, dtype=">u2", count=w * h * 3, offset=i)
+        return raster.reshape(h, w, 3).astype(np.uint16)
     raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
     return raster.reshape(h, w, 3)
 
 
-def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM 16-bit -> (int16 samples [n, channels], rate).
-    Pure numpy + chunk walking; compressed codecs rejected."""
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE -> (int16 samples [n, channels], rate). Pure numpy +
+    chunk walking. Integer PCM at 8 (unsigned, per spec) / 16 / 24 /
+    32 bits and IEEE float32/64 (format code 3) all decode; every
+    format lands on the SAME int16 sample space (wider widths keep the
+    top 16 bits; floats clip [-1,1] and scale) so the downstream
+    feature path is format-independent and the PCM16 path stays
+    bit-identical to rounds 3-4. Compressed codecs rejected."""
     if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
@@ -845,10 +896,42 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     n_channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits != 16:
-        raise ValueError(f"only PCM16 supported (format={audio_format}, bits={bits})")
-    samples = np.frombuffer(data, dtype="<i2")
+    if audio_format == 1:  # integer PCM
+        if bits == 16:
+            samples = np.frombuffer(data, dtype="<i2")
+        elif bits == 8:  # 8-bit WAV is UNSIGNED (RIFF spec)
+            samples = (
+                (np.frombuffer(data, np.uint8).astype(np.int16) - 128)
+                << 8
+            )
+        elif bits == 24:  # packed little-endian, sign-extend via i32
+            raw = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            as32 = np.zeros((raw.shape[0], 4), np.uint8)
+            as32[:, 1:] = raw
+            samples = (
+                as32.view("<i4").reshape(-1) >> 16
+            ).astype(np.int16)
+        elif bits == 32:
+            samples = (
+                np.frombuffer(data, dtype="<i4") >> 16
+            ).astype(np.int16)
+        else:
+            raise ValueError(f"unsupported PCM width {bits}")
+    elif audio_format == 3:  # IEEE float
+        dt = "<f4" if bits == 32 else "<f8"
+        f = np.clip(np.frombuffer(data, dtype=dt), -1.0, 1.0)
+        samples = np.round(f * 32767.0).astype(np.int16)
+    else:
+        raise ValueError(
+            f"WAV format code {audio_format} needs a codec library "
+            "(integer PCM and IEEE float decode natively)"
+        )
     return samples.reshape(-1, n_channels), rate
+
+
+# round-3/4 public name; PCM16 streams decode identically through the
+# generalized path above
+decode_wav_pcm16 = decode_wav
 
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

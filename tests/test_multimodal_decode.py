@@ -385,3 +385,62 @@ def test_real_decode_in_spark_stage(spark):
     )
     with pytest.raises(Exception, match="codec libraries"):
         decode_and_featurize(bad).collect()
+
+
+def test_wav_all_sample_types_land_on_one_int16_space():
+    """Integer PCM 8/16/24/32 and IEEE float32/64 all decode onto the
+    same int16 sample space; the synth carries one seeded int16 signal
+    through every container type, so wide formats must round-trip it
+    EXACTLY and 8-bit within its 256-step quantization."""
+    import numpy as np
+
+    from serimi_rdf_interlinking_spark.multimodal import (
+        decode_wav,
+        synth_wav,
+    )
+
+    base, rate = decode_wav(synth_wav(400, seed=11, channels=2))
+    assert rate == 8000 and base.shape == (400, 2)
+    for kw in (
+        dict(bits=24), dict(bits=32),
+        dict(bits=32, ieee_float=True), dict(bits=64, ieee_float=True),
+    ):
+        s, r = decode_wav(synth_wav(400, seed=11, channels=2, **kw))
+        assert r == rate and s.dtype == base.dtype == np.int16
+        assert np.array_equal(s, base), kw
+    s8, _ = decode_wav(synth_wav(400, seed=11, channels=2, bits=8))
+    assert np.abs(s8.astype(int) - base.astype(int)).max() < 256
+
+
+def test_wav_compressed_format_rejected():
+    import pytest
+
+    from serimi_rdf_interlinking_spark.multimodal import (
+        decode_wav,
+        synth_wav,
+    )
+
+    payload = bytearray(synth_wav(50, seed=1))
+    fmt_off = payload.index(b"fmt ") + 8
+    payload[fmt_off : fmt_off + 2] = (85).to_bytes(2, "little")  # MP3
+    with pytest.raises(ValueError, match="format code 85"):
+        decode_wav(bytes(payload))
+
+
+def test_ppm_16bit_decode():
+    import numpy as np
+
+    from serimi_rdf_interlinking_spark.multimodal import (
+        decode_ppm,
+        synth_ppm,
+    )
+
+    img = decode_ppm(synth_ppm(5, 4, seed=3, maxval=65535))
+    assert img.dtype == np.uint16 and img.shape == (4, 5, 3)
+    # the raster is the seeded generator's output verbatim
+    rng = np.random.RandomState(3)
+    want = rng.randint(0, 65536, size=(4, 5, 3)).astype(">u2")
+    assert np.array_equal(img, want.astype(np.uint16))
+    # 8-bit path unchanged
+    img8 = decode_ppm(synth_ppm(5, 4, seed=3))
+    assert img8.dtype == np.uint8

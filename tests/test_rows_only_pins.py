@@ -40,8 +40,10 @@ PINS = {
     # slots now rotate two progressive variants (color 4:2:0 + gray)
     # into the corpus, changing its composition; and once more when
     # non-interleaved multi-scan baseline decode landed (one multiscan
-    # 4:2:0 slot joined the rotation).
-    "media_features": "1abc17942ccf083838be329c995d804a",
+    # 4:2:0 slot joined the rotation); and a final time when the
+    # uncompressed surface completed (16-bit PPM slots; WAV slots now
+    # rotate PCM 8/24/32 and IEEE-float32 next to PCM16).
+    "media_features": "954b2db302c1f591b9e975d16cdc0287",
     # animated-GIF frame sampling (r5): deterministic clip corpus
     # through decode_gif_frames + hold-previous timeline sampling;
     # extra regression tooth next to the VALUES oracle
