@@ -129,3 +129,27 @@ def test_probe_media_operator(spark):
     assert out["c"]["duration_ms"] == 200
     assert out["d"]["container"] == "unknown"
     assert out["e"]["container"] == "gif"  # sniffed, not declared
+
+
+def test_probe_never_raises_property():
+    """Fuzz the never-raises contract: arbitrary bytes, and arbitrary
+    corruptions of valid payloads, must classify — never throw. A
+    10^12-row probe stage cannot afford one bad blob killing a task."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    magics = [
+        b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a", b"\xff\xd8",
+        b"RIFF", b"P6", b"\x00\x00\x00\x18ftyp",
+    ]
+
+    @given(
+        prefix=st.sampled_from(magics + [b""]),
+        body=st.binary(min_size=0, max_size=600),
+    )
+    @settings(max_examples=300, deadline=None)
+    def _run(prefix, body):
+        got = probe_payload(prefix + body)
+        assert isinstance(got, dict) and "container" in got
+
+    _run()

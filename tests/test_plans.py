@@ -214,3 +214,26 @@ def test_matcher_kernel_is_arrow_not_row_python(spark, triple_dfs):
     plan = _plan(df)
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lsh_label_join_no_cartesian_all_codegen_joins(spark):
+    """The LSH-blocked label join must never plan a cartesian/NLJ:
+    candidate generation is an equi-join on (band, band_key) and
+    verification is equi-joins through the candidate list. Also no
+    row-at-a-time Python — the whole operator is built-in exprs."""
+    from serimi_rdf_interlinking_spark.operators.blocking import (
+        lsh_label_join,
+    )
+
+    src = spark.range(50).select(
+        F.concat(F.lit("s"), "id").alias("src_id"),
+        F.concat(F.lit("label word "), "id").alias("label"),
+    )
+    tgt = spark.range(50).select(
+        F.concat(F.lit("t"), "id").alias("tgt_id"),
+        F.concat(F.lit("label word "), "id").alias("label"),
+    )
+    plan = _plan(lsh_label_join(src, tgt))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
