@@ -85,6 +85,95 @@ def ensure_corpus(spark) -> None:
         f.write("ok")
 
 
+N_MEDIA = int(os.environ.get("SERIMI_SCALE_MEDIA", "20000"))
+
+
+def ensure_media_corpus(spark) -> None:
+    """Deterministic synthetic MEDIA corpus for the decode leg:
+    payloads synthesized IN EXECUTORS (mapInPandas over an id range,
+    seed = id) rotating the real codec surface — PPM, WAV (all sample
+    types), PNG (all color types), GIF (plain/interlaced), JPEG
+    (baseline 4:4:4/4:2:0 + progressive). One-time write, shared by
+    both parallelism levels."""
+    marker = os.path.join(CORPUS_DIR, "_MEDIA_MARKER")
+    if os.path.exists(marker):
+        return
+
+    def _synth(batches):
+        import pandas as pd
+
+        from serimi_rdf_interlinking_spark.jpeg import synth_jpeg
+        from serimi_rdf_interlinking_spark.multimodal import (
+            synth_gif,
+            synth_png,
+            synth_ppm,
+            synth_wav,
+        )
+
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "payload": [], "mime": []}
+            for raw in pdf["id"]:
+                i = int(raw)
+                m = i % 5
+                if m == 0:
+                    p, mime, kind = (
+                        synth_ppm(12 + i % 5, 9 + i % 4, seed=i),
+                        "image/x-portable-pixmap", "image",
+                    )
+                elif m == 1:
+                    p, mime, kind = (
+                        synth_wav(
+                            800 + i % 200, seed=i,
+                            bits=(16, 8, 24, 32)[(i // 5) % 4],
+                        ),
+                        "audio/wav", "audio",
+                    )
+                elif m == 2:
+                    p, mime, kind = (
+                        synth_png(
+                            14 + i % 6, 10 + i % 5, seed=i,
+                            color_type=(0, 2, 3, 6)[(i // 5) % 4],
+                            filter_type=i % 5,
+                        ),
+                        "image/png", "image",
+                    )
+                elif m == 3:
+                    p, mime, kind = (
+                        synth_gif(
+                            12 + i % 5, 9 + i % 4, seed=i,
+                            interlace=(i // 5) % 2 == 0,
+                        ),
+                        "image/gif", "image",
+                    )
+                else:
+                    p, mime, kind = (
+                        synth_jpeg(
+                            20 + i % 8, 14 + i % 6, seed=i,
+                            subsample=(i // 5) % 2 == 0,
+                            progressive=(i // 5) % 3 == 0,
+                        ),
+                        "image/jpeg", "image",
+                    )
+                out["media_id"].append(f"m{i}")
+                out["kind"].append(kind)
+                out["payload"].append(p)
+                out["mime"].append(mime)
+            yield pd.DataFrame(out)
+
+    (
+        spark.range(N_MEDIA)
+        .repartition(64)
+        .mapInPandas(
+            _synth,
+            "media_id string, kind string, payload binary, mime string",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(CORPUS_DIR, "media"))
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
 def _force(df) -> int:
     """Force full evaluation of every column. A bare count() lets
     Catalyst prune per-row projections and cardinality-preserving joins
@@ -292,6 +381,25 @@ def scaling_job(spark) -> dict:
         n=3,
     )
 
+    # media decode leg: the multimodal mapInPandas stage over the
+    # synthetic codec corpus (PPM/WAV/PNG/GIF/JPEG incl. progressive).
+    # Decode is stateless (no executor-side caches), so the same input
+    # repeats legitimately; partition-parallel with no shuffle — the
+    # shape that must scale linearly with cores.
+    from serimi_rdf_interlinking_spark.multimodal import (
+        decode_and_featurize,
+    )
+
+    media = (
+        spark.read.parquet(os.path.join(CORPUS_DIR, "media"))
+        .repartition(64)
+        .localCheckpoint(eager=True)
+    )
+    n_media = media.count()
+    n_media, t_media = best_of(
+        lambda i: decode_and_featurize(media), n=3
+    )
+
     t0 = time.time()
     n_sig = _force(minhash_signatures(pages, id_col="doc_id", num_hashes=12))
     n_sim = _force(simhash(pages, id_col="doc_id"))
@@ -365,6 +473,8 @@ def scaling_job(spark) -> dict:
         "t_matcher": round(t_matcher, 3),
         "t_matcher_warmup": round(t_warm, 3),
         "t_matcher_scale": round(t_matcher - t_warm, 3),
+        "n_media": n_media,
+        "t_media": round(t_media, 3),
         "t_dedup_suite": round(t_dedup, 3),
         # headline = the KG pipeline's compute (python/Arrow stages);
         # the JVM dedup suite is reported separately (memory-bandwidth
@@ -383,6 +493,7 @@ def measured_run(cpus: int) -> None:
         shuffle_partitions=cpus,
     )
     ensure_corpus(spark)
+    ensure_media_corpus(spark)
     stats = scaling_job(spark)
     stats["cpus"] = cpus
     print("RESULT " + json.dumps(stats), flush=True)
@@ -462,6 +573,17 @@ multiprocessing busy-loop efficiency is 0.97 at 8 procs but degrades
 with co-tenant load). On a multi-executor cluster each executor owns
 its cores, heap and memory channels — the regime the criterion
 actually targets.
+
+**Media decode leg** (the multimodal mapInPandas stage:
+{lo['n_media']:,} payloads rotating the real codec surface —
+PPM, WAV all sample types, PNG all color types, GIF
+plain/interlaced, JPEG baseline/4:2:0/progressive — decode +
+featurize; stateless, partition-parallel, no shuffle):
+local[{LOW}] {lo['t_media']}s -> local[{HIGH}] {hi['t_media']}s,
+speedup {lo['t_media'] / hi['t_media']:.2f}x, efficiency
+{lo['t_media'] / hi['t_media'] / (HIGH / LOW):.3f}
+({lo['n_media'] / lo['t_media']:,.0f} ->
+{hi['n_media'] / hi['t_media']:,.0f} payloads/s).
 
 **Batch-mode matcher E2E** (the flagship serimi_alignment scale path:
 full SerimiMatcher.run — label/stopword mining, token-index build,
