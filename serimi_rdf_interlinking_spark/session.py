@@ -20,11 +20,18 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(os.environ.get("SERIMI_SHUFFLE_PARTITIONS", cpus))
+    # Under spark-submit the JVM gateway already exists and --master was
+    # decided on the command line (PYSPARK_GATEWAY_PORT is set by
+    # PythonRunner); forcing .master() here would silently override the
+    # submitted cluster manager. Only pin a master when launching the
+    # JVM ourselves or when the caller asks explicitly.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    b = SparkSession.builder.appName(app_name)
+    if master is not None or not under_submit:
+        b = b.master(master or f"local[{cpus}]")
     b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        b
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
