@@ -13,6 +13,8 @@ partitioning stay identical).
 
 from __future__ import annotations
 
+import codecs
+import html as _htmlmod
 import re
 from collections.abc import Iterator
 
@@ -21,8 +23,53 @@ from pyspark.sql import DataFrame
 
 from .sources.triples import EXTRACTED_TRIPLE_SCHEMA
 
-_TAG = re.compile(rb"<[^>]+>")
-_WS = re.compile(rb"\s+")
+# ---- HTML -> text (Common-Crawl-grade, deterministic, stdlib-only) ----
+#
+# Order matters and is part of the per-url byte-identity contract:
+#   charset decode -> comments out -> script/style/noscript out ->
+#   tags out -> entity unescape -> whitespace collapse.
+# Entities are unescaped AFTER tag stripping so escaped markup
+# ("&lt;b&gt;") survives as literal text instead of being re-parsed
+# and stripped as a tag.
+
+_COMMENT = re.compile(r"<!--.*?(?:-->|$)", re.S)
+_RAWTEXT = re.compile(
+    r"<(script|style|noscript)\b[^>]*>.*?(?:</\1\s*>|$)", re.S | re.I
+)
+_TAG = re.compile(r"<[^>]*>")
+_WS = re.compile(r"\s+")  # str-mode: includes U+00A0 (&nbsp;) etc.
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9._-]+)""", re.I
+)
+# generic utf-16/utf-32 codecs consume the BOM (a -le/-be codec would
+# leave a stray U+FEFF at the start of the text); check 32 before 16
+# because BOM_UTF32_LE starts with BOM_UTF16_LE's bytes.
+_BOMS = (
+    (codecs.BOM_UTF8, "utf-8-sig"),
+    (codecs.BOM_UTF32_LE, "utf-32"),
+    (codecs.BOM_UTF32_BE, "utf-32"),
+    (codecs.BOM_UTF16_LE, "utf-16"),
+    (codecs.BOM_UTF16_BE, "utf-16"),
+)
+
+
+def detect_charset(head: bytes) -> str:
+    """BOM first (WHATWG encoding-sniff precedence), then a
+    `<meta charset=...>` / http-equiv declaration in the prologue,
+    else utf-8. Unknown labels fall back to utf-8 so a hostile page
+    cannot crash the extractor."""
+    for bom, enc in _BOMS:
+        if head.startswith(bom):
+            return enc
+    mt = _META_CHARSET.search(head[:4096])
+    if mt:
+        label = mt.group(1).decode("ascii", errors="replace").strip().lower()
+        try:
+            codecs.lookup(label)
+            return label
+        except LookupError:
+            return "utf-8"
+    return "utf-8"
 
 # relation templates: (pattern with named groups s/o, predicate)
 _PATTERNS: list[tuple[re.Pattern, str]] = [
@@ -36,15 +83,30 @@ _SENT_SPLIT = re.compile(r"[.!?]\s*")
 
 
 def extract_text_from_html(html: bytes) -> str:
-    """Deterministic tag-strip + whitespace normalization. The fixture
-    generator wraps `text` in <html><body>…</body></html>, so the
-    invariant `extract_text_from_html(html) == text` is testable
-    byte-for-byte."""
+    """Deterministic web-page text extraction (the north-star per-row
+    invariant is byte-identical extracted text per url — every step
+    here is pure, ordered, and library-free):
+
+    * charset: BOM > meta-declared > utf-8, errors="replace"
+    * drops <!-- comments --> (incl. IE conditional comments)
+    * drops <script>/<style>/<noscript> elements with their content
+      (unclosed raw-text elements consume to EOF, as browsers do)
+    * strips remaining tags to a space separator
+    * unescapes entities last (&lt;b&gt; stays literal text "<b>")
+    * collapses Unicode whitespace (incl. &nbsp; = U+00A0) to single
+      spaces and trims
+
+    The fixture generator wraps `text` in <html><body>…</body></html>,
+    so `extract_text_from_html(html) == text` is testable byte-for-byte.
+    """
     if html is None:
         return ""
-    no_tags = _TAG.sub(b" ", html)
-    collapsed = _WS.sub(b" ", no_tags).strip()
-    return collapsed.decode("utf-8", errors="replace")
+    text = html.decode(detect_charset(html[:4096]), errors="replace")
+    text = _COMMENT.sub(" ", text)
+    text = _RAWTEXT.sub(" ", text)
+    text = _TAG.sub(" ", text)
+    text = _htmlmod.unescape(text)
+    return _WS.sub(" ", text).strip()
 
 
 def extract_triples_from_text(url: str, text: str) -> list[tuple]:

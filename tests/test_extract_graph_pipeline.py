@@ -35,6 +35,60 @@ def test_html_text_invariant(fixture_small):
         assert extract_text_from_html(html) == text, url
 
 
+def test_html_extractor_real_page_shape(fixture_small):
+    """A crawl-realistic page (boilerplate, script/style/comments,
+    entities, nbsp) must reduce to exactly the fixture sentence text —
+    the same byte-identity invariant, on hostile markup."""
+    _url, _ts, _html, text, _lang = fixture_small.pages[0]
+    esc = text.replace("&", "&amp;")
+    page = (
+        "<!DOCTYPE html><html><head>\n"
+        '<meta charset="utf-8"><title>ignored title</title>\n'
+        "<style>body { color: red }</style>\n"
+        '<script src="x.js"></script>\n'
+        "<script>if (1 < 2) { document.write('<p>injected</p>'); }</script>\n"
+        "</head><body>\n"
+        "<!-- nav boilerplate -->\n"
+        "<!--[if IE]><p>ie only</p><![endif]-->\n"
+        f"<div class='a&amp;b'><p>{esc}</p></div>\n"
+        "<noscript>enable js</noscript>\n"
+        "</body></html>"
+    ).encode("utf-8")
+    got = extract_text_from_html(page)
+    assert got == "ignored title " + text
+
+
+def test_html_extractor_entities_and_nbsp():
+    page = b"<p>Fish&nbsp;&amp;&nbsp;Chips &#65;&#x42; &lt;b&gt;literal&lt;/b&gt;</p>"
+    # &nbsp; collapses like ordinary whitespace; escaped markup stays text
+    assert extract_text_from_html(page) == "Fish & Chips AB <b>literal</b>"
+
+
+def test_html_extractor_unclosed_script_consumes_to_eof():
+    page = b"<p>kept</p><script>var x = '<p>never rendered</p>';"
+    assert extract_text_from_html(page) == "kept"
+
+
+def test_html_extractor_charsets():
+    body = "<html><body>Zürich café</body></html>"
+    assert extract_text_from_html(body.encode("utf-8")) == "Zürich café"
+    # BOM beats the (absent) meta declaration; BOM must not leak into text
+    for enc in ("utf-16-le", "utf-16-be"):
+        import codecs as _c
+
+        bom = _c.BOM_UTF16_LE if enc.endswith("le") else _c.BOM_UTF16_BE
+        assert extract_text_from_html(bom + body.encode(enc)) == "Zürich café"
+    latin = (
+        '<html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=iso-8859-1"></head>'
+        "<body>Zürich café</body></html>"
+    ).encode("iso-8859-1")
+    assert extract_text_from_html(latin) == "Zürich café"
+    # unknown charset label: deterministic utf-8 fallback, never a crash
+    junk = b'<meta charset="no-such-enc"><body>ok</body>'
+    assert extract_text_from_html(junk) == "ok"
+
+
 def test_extract_triples_from_text():
     rows = extract_triples_from_text(
         "u1",
