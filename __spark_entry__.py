@@ -783,6 +783,42 @@ def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join (operators/temporal.py): every purchase
+    event joined to the most recent at-or-before view by the same
+    user — union-sort-window plan, ONE shuffle of |L|+|R| rows, no
+    range-join fan-out. The oracle is DuckDB's NATIVE ``ASOF LEFT
+    JOIN`` — a fully independent implementation of the semantics, not
+    a re-statement of ours."""
+    from serimi_rdf_interlinking_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("view_event_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ).alias("gap_us"),
+        F.col("asof_value").alias("view_value"),
+    ).orderBy("event_id")
+
+
 def q_levenshtein_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 Levenshtein (normalized like simmetrics: 1 - d/maxlen) over
     same-brand part-name pairs."""
@@ -1685,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_window": q_running_window,
         "sessionize": q_sessionize,
         "time_buckets": q_time_buckets,
+        "asof_join": q_asof_join,
         "levenshtein_sim": q_levenshtein_sim,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2623,6 +2660,23 @@ FROM g GROUP BY user_id ORDER BY user_id
     # nothing about the emitted sessions (the operator's correctness
     # claim), so the oracle is identical
     sql["stream_sessionize_ooo"] = sql["stream_sessionize"]
+
+    # independent implementation: DuckDB's native ASOF JOIN operator,
+    # not a SQL restatement of the union-sort-window plan.
+    sql["asof_join"] = """
+WITH v AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id,
+         arg_max(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, v.view_event_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+       v.view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+"""
 
     sql["ann_lsh_topk"] = _ann_lsh_sql(dim=64, n_planes=3, k=5, max_query_id=8)
 

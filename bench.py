@@ -48,6 +48,7 @@ HEADLINE = [
     "running_window",
     "sessionize",
     "time_buckets",
+    "asof_join",
     # training-data ops
     "dedup_exact",
     "stream_dedup_exact",
