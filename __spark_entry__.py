@@ -852,6 +852,121 @@ def q_levenshtein_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# graph analytics over the KG (operators/graph_analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def _doc_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic doc-link graph (no external data, per
+    the round directive): every doc links to a hub in [0, 97) plus
+    1-3 arithmetic neighbors mod n — a varied-degree directed graph
+    with real hub skew, derived by pure integer arithmetic so the
+    DuckDB oracle rebuilds the IDENTICAL edge set independently."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    i = F.col("doc_id")
+    cands = F.array(
+        (i * 7919 + 13) % 97,
+        (i * 31 + 17) % n,
+        F.when(i % 2 == 0, (i * 57 + 101) % n),
+        F.when(i % 3 == 0, (i * 13 + 7) % n),
+    )
+    return (
+        docs.select(i.alias("src"), F.explode(cands).alias("dst"))
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+
+
+_DOC_LINK_EDGES_SQL = """
+n AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*7919+13) % 97 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*31+17) % (SELECT n FROM n) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*57+101) % (SELECT n FROM n) FROM documents
+  WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+7) % (SELECT n FROM n) FROM documents
+  WHERE doc_id % 3 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the doc-link graph: 5 synchronous power
+    iterations, d=0.85, uniform teleport + uniform dangling-mass
+    redistribution (operators/graph_analytics.py). The oracle is a
+    generated DuckDB CTE chain that executes the SAME power iteration
+    itself — an independent engine computing the math, not a pin."""
+    from serimi_rdf_interlinking_spark.operators.graph_analytics import pagerank
+
+    pr = pagerank(_doc_link_edges(spark, sf_dir), iterations=5, damping=0.85)
+    return pr.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+
+
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    parts = [
+        "WITH " + _DOC_LINK_EDGES_SQL.strip().rstrip(","),
+        """,
+nodes AS (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)""",
+    ]
+    for t in range(iterations):
+        parts.append(f""",
+dang{t} AS (SELECT coalesce(sum(r.rank), 0) AS mass
+  FROM r{t} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
+c{t} AS (SELECT e.dst AS node, sum(r.rank / deg.d) AS c
+  FROM e JOIN r{t} r ON e.src = r.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst),
+r{t + 1} AS (SELECT nd.node,
+  {1.0 - damping} / (SELECT n FROM nn)
+  + {damping} * (coalesce(c.c, 0)
+                 + (SELECT mass FROM dang{t}) / (SELECT n FROM nn)) AS rank
+  FROM nodes nd LEFT JOIN c{t} c ON nd.node = c.node)""")
+    parts.append(
+        f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations} ORDER BY node"
+    )
+    return "".join(parts)
+
+
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-hop BFS reachability from seed docs 0-4 over the
+    doc-link graph, min hop distance per reached node
+    (operators/graph_analytics.py k_hop). Oracle: DuckDB WITH
+    RECURSIVE — an independent recursion engine."""
+    from serimi_rdf_interlinking_spark.operators.graph_analytics import k_hop
+
+    edges = _doc_link_edges(spark, sf_dir)
+    seeds = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 5
+    ).select(F.col("doc_id").alias("node"))
+    out = k_hop(edges, seeds, k=3)
+    return out.select(
+        "node", F.col("dist").cast("long").alias("dist")
+    ).orderBy("node")
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the undirected doc-link
+    graph, degree-ordered compact-forward plan
+    (operators/graph_analytics.py triangle_count)."""
+    from serimi_rdf_interlinking_spark.operators.graph_analytics import (
+        triangle_count,
+    )
+
+    out = triangle_count(_doc_link_edges(spark, sf_dir))
+    return out.orderBy("node")
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline operators
 # ---------------------------------------------------------------------------
 
@@ -1722,6 +1837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "time_buckets": q_time_buckets,
         "asof_join": q_asof_join,
+        "pagerank": q_pagerank,
+        "khop_reach": q_khop_reach,
+        "triangle_count": q_triangle_count,
         "levenshtein_sim": q_levenshtein_sim,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2676,6 +2794,47 @@ SELECT p.event_id, p.user_id, v.view_event_id,
        v.view_value
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 ORDER BY p.event_id
+"""
+
+    # independent engine executes the same 5-step power iteration
+    # itself (generated CTE chain) — see q_pagerank.
+    sql["pagerank"] = _pagerank_sql(iterations=5, damping=0.85)
+
+    sql["khop_reach"] = f"""
+WITH RECURSIVE {_DOC_LINK_EDGES_SQL.strip()},
+reach(node, dist) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id < 5
+  UNION
+  SELECT e.dst, r.dist + 1 FROM reach r JOIN e ON e.src = r.node
+  WHERE r.dist < 3
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist
+FROM reach GROUP BY node ORDER BY node
+"""
+
+    sql["triangle_count"] = f"""
+WITH {_DOC_LINK_EDGES_SQL.strip()},
+ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+deg AS (SELECT node, count(*) AS d FROM
+  (SELECT a AS node FROM ue UNION ALL SELECT b FROM ue) GROUP BY node),
+fwd AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND ue.a < ue.b)
+              THEN ue.a ELSE ue.b END AS u,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND ue.a < ue.b)
+              THEN ue.b ELSE ue.a END AS v
+  FROM ue JOIN deg da ON ue.a = da.node JOIN deg db ON ue.b = db.node
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM fwd e1 JOIN fwd e2 ON e1.v = e2.u
+  WHERE EXISTS (SELECT 1 FROM ue
+                WHERE ue.a = least(e1.u, e2.v) AND ue.b = greatest(e1.u, e2.v))
+)
+SELECT node, count(*) AS triangles FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+) GROUP BY node ORDER BY node
 """
 
     sql["ann_lsh_topk"] = _ann_lsh_sql(dim=64, n_planes=3, k=5, max_query_id=8)

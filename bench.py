@@ -49,6 +49,9 @@ HEADLINE = [
     "sessionize",
     "time_buckets",
     "asof_join",
+    "pagerank",
+    "khop_reach",
+    "triangle_count",
     # training-data ops
     "dedup_exact",
     "stream_dedup_exact",
