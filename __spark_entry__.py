@@ -954,6 +954,70 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+# (query_id, term) literals shared verbatim by the Spark query and
+# the SQL oracle's VALUES list
+_BM25_QUERIES = [
+    (0, "spark"), (0, "window"), (0, "agg"),
+    (1, "hash"), (1, "join"), (1, "table"),
+    (2, "stream"), (2, "filter"), (2, "vector"),
+]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text BM25 top-10 retrieval over documents
+    (operators/search.py): tokenize -> tf/df/dl/avgdl -> Lucene-idf
+    BM25 -> truncating per-query top-k. Oracle: DuckDB recomputes the
+    whole scoring pipeline from the same token stream."""
+    from serimi_rdf_interlinking_spark.operators.search import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    out = bm25_topk(docs, queries, k=10)
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "doc_id",
+        F.col("rk").cast("long").alias("rk"),
+        "score",
+    ).orderBy("query_id", "rk")
+
+
+def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    values = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS c
+  FROM q
+  JOIN df USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+scored AS (SELECT query_id, doc_id, round(sum(c), 9) AS score_r
+           FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score_r,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_r DESC, doc_id) AS rk
+           FROM scored)
+SELECT query_id, doc_id, rk, round(score_r, 6) AS score
+FROM ranked WHERE rk <= {k} ORDER BY query_id, rk
+"""
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle participation over the undirected doc-link
     graph, degree-ordered compact-forward plan
@@ -1840,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "khop_reach": q_khop_reach,
         "triangle_count": q_triangle_count,
+        "bm25_search": q_bm25_search,
         "levenshtein_sim": q_levenshtein_sim,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2799,6 +2864,8 @@ ORDER BY p.event_id
     # independent engine executes the same 5-step power iteration
     # itself (generated CTE chain) — see q_pagerank.
     sql["pagerank"] = _pagerank_sql(iterations=5, damping=0.85)
+
+    sql["bm25_search"] = _bm25_sql(k=10, k1=1.2, b=0.75)
 
     sql["khop_reach"] = f"""
 WITH RECURSIVE {_DOC_LINK_EDGES_SQL.strip()},

@@ -52,6 +52,7 @@ HEADLINE = [
     "pagerank",
     "khop_reach",
     "triangle_count",
+    "bm25_search",
     # training-data ops
     "dedup_exact",
     "stream_dedup_exact",
