@@ -819,6 +819,28 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel (operators/events.py):
+    first-touch chaining, each step one equi-join + min-agg against a
+    shrinking frontier. Oracle: chained min-ts CTEs."""
+    from serimi_rdf_interlinking_spark.operators.events import funnel
+
+    ev = _read(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"]).orderBy("step_idx")
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle (operators/events.py): calendar-free
+    epoch-week cohorts, distinct-(user,week) pre-aggregation so the
+    final count needs no distinct expand."""
+    from serimi_rdf_interlinking_spark.operators.events import (
+        retention_cohorts,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return retention_cohorts(ev).orderBy("cohort_week", "offset_weeks")
+
+
 def q_levenshtein_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 Levenshtein (normalized like simmetrics: 1 - d/maxlen) over
     same-brand part-name pairs."""
@@ -1905,6 +1927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_reach": q_khop_reach,
         "triangle_count": q_triangle_count,
         "bm25_search": q_bm25_search,
+        "funnel": q_funnel,
+        "retention_cohorts": q_retention_cohorts,
         "levenshtein_sim": q_levenshtein_sim,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2866,6 +2890,34 @@ ORDER BY p.event_id
     sql["pagerank"] = _pagerank_sql(iterations=5, damping=0.85)
 
     sql["bm25_search"] = _bm25_sql(k=10, k1=1.2, b=0.75)
+
+    sql["funnel"] = """
+WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 0 AS step_idx, 'view' AS step, (SELECT count(*) FROM s0) AS n_users
+UNION ALL
+SELECT 1, 'click', (SELECT count(*) FROM s1)
+UNION ALL
+SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+ORDER BY step_idx
+"""
+
+    sql["retention_cohorts"] = """
+WITH w AS (SELECT DISTINCT user_id,
+                  CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
+           FROM events),
+c AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY user_id)
+SELECT c.cohort_week, w.wk - c.cohort_week AS offset_weeks,
+       count(*) AS n_users
+FROM w JOIN c ON w.user_id = c.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
     sql["khop_reach"] = f"""
 WITH RECURSIVE {_DOC_LINK_EDGES_SQL.strip()},

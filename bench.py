@@ -53,6 +53,8 @@ HEADLINE = [
     "khop_reach",
     "triangle_count",
     "bm25_search",
+    "funnel",
+    "retention_cohorts",
     # training-data ops
     "dedup_exact",
     "stream_dedup_exact",
