@@ -698,6 +698,131 @@ def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — argmin join-back: for each small part, the
+    supplier(s) in region 1 offering the minimum observed unit price
+    (partsupp does not exist in this schema, so lineitem supplies the
+    part-supplier price points). The oracle states the SAME semantics
+    as a correlated scalar subquery, which DuckDB plans its own way.
+    Unit price is a per-row division computed in identical op order in
+    both engines, so the min-equality join is FP-safe."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    scoped = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+        )
+    )
+    mins = scoped.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("unit").alias("min_unit")
+    )
+    return (
+        scoped.join(
+            mins,
+            (scoped["p_partkey"] == mins["mk"])
+            & (scoped["unit"] == mins["min_unit"]),
+        )
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round("unit", 6).alias("unit_price"),
+        )
+        .distinct()
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+def q_late_sole_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — exists / not-exists composition: per
+    supplier, the number of multi-supplier orders where THEIR latest
+    shipment is strictly later than every other supplier's (the
+    unique last shipper — the delivery-holdup analogue; commit/receipt
+    dates do not exist in this schema)."""
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    om = per_os.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max("last_ship").alias("omax"), F.count("*").alias("nsupp")
+    )
+    winners = (
+        per_os.join(om, per_os["l_orderkey"] == om["ok"])
+        .filter((F.col("nsupp") >= 2) & (F.col("last_ship") == F.col("omax")))
+        .select("l_orderkey", "l_suppkey")
+    )
+    unique_orders = (
+        winners.groupBy("l_orderkey")
+        .agg(F.count("*").alias("nw"))
+        .filter(F.col("nw") == 1)
+        .select("l_orderkey")
+    )
+    return (
+        winners.join(unique_orders, "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+    )
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — outer-join histogram: distribution of
+    customers by their count of large orders (left join keeps
+    zero-order customers in the c_count=0 bucket)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 50_000
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar subquery + anti join: per nation, the
+    count and total balance of customers whose balance exceeds the
+    global positive-balance average but who have NO orders."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").select("o_custkey")
+    nation = _read(spark, sf_dir, "nation")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1-style left-semi + left-anti joins: customers with/without
     orders per market segment."""
@@ -1918,6 +2043,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "nation_trade_volume": q_nation_trade_volume,
         "part_supplier_diversity": q_part_supplier_diversity,
+        "min_cost_supplier": q_min_cost_supplier,
+        "late_sole_shipper": q_late_sole_shipper,
+        "customer_order_distribution": q_customer_order_distribution,
+        "idle_rich_customers": q_idle_rich_customers,
         "semi_anti_join": q_semi_anti_join,
         "running_window": q_running_window,
         "sessionize": q_sessionize,
@@ -2890,6 +3019,63 @@ ORDER BY p.event_id
     sql["pagerank"] = _pagerank_sql(iterations=5, damping=0.85)
 
     sql["bm25_search"] = _bm25_sql(k=10, k1=1.2, b=0.75)
+
+    # Q2 shape: the oracle states the argmin as a CORRELATED scalar
+    # subquery — DuckDB plans it independently of our join-back.
+    sql["min_cost_supplier"] = """
+WITH scoped AS (
+  SELECT p.p_partkey, s.s_suppkey, s.s_name, n.n_name,
+         l.l_extendedprice / l.l_quantity AS unit
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size <= 5
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_regionkey = 1
+)
+SELECT DISTINCT p_partkey, s_suppkey, s_name, n_name,
+       round(unit, 6) AS unit_price
+FROM scoped o
+WHERE unit = (SELECT min(unit) FROM scoped i
+              WHERE i.p_partkey = o.p_partkey)
+ORDER BY p_partkey, s_suppkey
+"""
+
+    sql["late_sole_shipper"] = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+),
+om AS (SELECT l_orderkey, max(last_ship) AS omax, count(*) AS nsupp
+       FROM per_os GROUP BY l_orderkey),
+w AS (SELECT p.l_orderkey, p.l_suppkey
+      FROM per_os p JOIN om USING (l_orderkey)
+      WHERE om.nsupp >= 2 AND p.last_ship = om.omax),
+u AS (SELECT l_orderkey FROM w GROUP BY l_orderkey HAVING count(*) = 1)
+SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+FROM w JOIN u USING (l_orderkey)
+JOIN supplier s ON w.l_suppkey = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s_suppkey
+"""
+
+    sql["customer_order_distribution"] = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_totalprice > 50000
+  GROUP BY c.c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+    sql["idle_rich_customers"] = """
+SELECT n.n_name, count(*) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n.n_name ORDER BY n.n_name
+"""
 
     sql["funnel"] = """
 WITH s0 AS (SELECT user_id, min(ts) AS t FROM events

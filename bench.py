@@ -44,6 +44,10 @@ HEADLINE = [
     "small_quantity_revenue",
     "nation_trade_volume",
     "part_supplier_diversity",
+    "min_cost_supplier",
+    "late_sole_shipper",
+    "customer_order_distribution",
+    "idle_rich_customers",
     "semi_anti_join",
     "running_window",
     "sessionize",
