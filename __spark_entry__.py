@@ -722,15 +722,18 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
         )
     )
-    mins = scoped.groupBy(F.col("p_partkey").alias("mk")).agg(
-        F.min("unit").alias("min_unit")
-    )
+    from pyspark.sql import Window
+
+    # argmin via a per-part window min, NOT a groupBy + join-back: the
+    # join-back form consumes `scoped` twice, so Catalyst re-executes
+    # the whole 4-table join subtree (plan-audited: 8 parquet scans);
+    # the window form shuffles once on p_partkey and scans each table
+    # once. Per-part row counts are bounded (suppliers x lineitems of
+    # one part), so the window is skew-safe.
+    w = Window.partitionBy("p_partkey")
     return (
-        scoped.join(
-            mins,
-            (scoped["p_partkey"] == mins["mk"])
-            & (scoped["unit"] == mins["min_unit"]),
-        )
+        scoped.withColumn("min_unit", F.min("unit").over(w))
+        .filter(F.col("unit") == F.col("min_unit"))
         .select(
             "p_partkey",
             "s_suppkey",
@@ -751,25 +754,24 @@ def q_late_sole_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     dates do not exist in this schema)."""
     li = _read(spark, sf_dir, "lineitem")
     supp = _read(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    # single-scan shape: per-order stats via windows over the SAME
+    # l_orderkey partitioning (Catalyst reuses one exchange+sort), not
+    # groupBy frames joined back — the join-back form re-executed the
+    # per_os aggregation three times (plan-audited: 5 parquet scans).
     per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("last_ship")
     )
-    om = per_os.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.max("last_ship").alias("omax"), F.count("*").alias("nsupp")
+    w = Window.partitionBy("l_orderkey")
+    annotated = per_os.withColumn("omax", F.max("last_ship").over(w)).withColumn(
+        "nsupp", F.count("*").over(w)
     )
-    winners = (
-        per_os.join(om, per_os["l_orderkey"] == om["ok"])
-        .filter((F.col("nsupp") >= 2) & (F.col("last_ship") == F.col("omax")))
-        .select("l_orderkey", "l_suppkey")
-    )
-    unique_orders = (
-        winners.groupBy("l_orderkey")
-        .agg(F.count("*").alias("nw"))
-        .filter(F.col("nw") == 1)
-        .select("l_orderkey")
-    )
+    winners = annotated.filter(
+        (F.col("nsupp") >= 2) & (F.col("last_ship") == F.col("omax"))
+    ).withColumn("nw", F.count("*").over(w))
     return (
-        winners.join(unique_orders, "l_orderkey")
+        winners.filter(F.col("nw") == 1)
         .groupBy("l_suppkey")
         .agg(F.count("*").alias("numwait"))
         .join(supp, F.col("l_suppkey") == supp["s_suppkey"])

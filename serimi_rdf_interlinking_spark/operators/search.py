@@ -73,9 +73,19 @@ def bm25_topk(
         _partial_topk,
     )
 
+    # ONE scan + tokenize of the corpus: the postings are materialized
+    # (eager localCheckpoint) because three consumers (df, stats via
+    # dl, the scoring join) would otherwise each re-execute the
+    # explode+aggregate subtree (plan-audited: 4 corpus scans); dl is
+    # derived from tf (sum of term frequencies == token count), never
+    # from a second pass over the token stream.
     toks = tokenize(docs, id_col, text_col)
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
     )
