@@ -1024,6 +1024,11 @@ def _doc_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(i.alias("src"), F.explode(cands).alias("dst"))
         .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
         .distinct()
+        # deterministic positive weight, functionally dependent on the
+        # endpoints (so adding it commutes with the distinct)
+        .withColumn(
+            "w", 1 + (F.col("src") * 7 + F.col("dst") * 13) % 10
+        )
     )
 
 
@@ -1040,7 +1045,8 @@ e0 AS (
   SELECT doc_id, (doc_id*13+7) % (SELECT n FROM n) FROM documents
   WHERE doc_id % 3 = 0
 ),
-e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)
+e AS (SELECT src, dst, 1 + (src*7 + dst*13) % 10 AS w
+      FROM (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst))
 """
 
 
@@ -1165,6 +1171,42 @@ ranked AS (SELECT query_id, doc_id, score_r,
 SELECT query_id, doc_id, rk, round(score_r, 6) AS score
 FROM ranked WHERE rk <= {k} ORDER BY query_id, rk
 """
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 4-round Bellman-Ford shortest paths from seed docs 0-4
+    over the weighted doc-link graph (operators/graph_analytics.py
+    sssp, frontier-pruned). Oracle: a generated DuckDB CTE chain
+    executing the same relaxation rounds — integer weights, exact."""
+    from serimi_rdf_interlinking_spark.operators.graph_analytics import sssp
+
+    edges = _doc_link_edges(spark, sf_dir)
+    seeds = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 5
+    ).select(F.col("doc_id").alias("node"))
+    return sssp(edges, seeds, rounds=4).orderBy("node")
+
+
+def _sssp_sql(rounds: int = 4) -> str:
+    parts = [
+        "WITH " + _DOC_LINK_EDGES_SQL.strip(),
+        """,
+d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
+       FROM documents WHERE doc_id < 5)""",
+    ]
+    for t in range(rounds):
+        parts.append(f""",
+c{t} AS (SELECT e.dst AS node, min(d.dist + e.w) AS nd
+  FROM d{t} d JOIN e ON d.node = e.src GROUP BY e.dst),
+d{t + 1} AS (SELECT coalesce(d.node, c.node) AS node,
+  CASE WHEN d.dist IS NULL THEN c.nd
+       WHEN c.nd IS NULL THEN d.dist
+       ELSE least(d.dist, c.nd) END AS dist
+  FROM d{t} d FULL JOIN c{t} c ON d.node = c.node)""")
+    parts.append(
+        f"\nSELECT node, dist FROM d{rounds} ORDER BY node"
+    )
+    return "".join(parts)
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2057,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "khop_reach": q_khop_reach,
         "triangle_count": q_triangle_count,
+        "sssp": q_sssp,
         "bm25_search": q_bm25_search,
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
@@ -3019,6 +3062,8 @@ ORDER BY p.event_id
     # independent engine executes the same 5-step power iteration
     # itself (generated CTE chain) — see q_pagerank.
     sql["pagerank"] = _pagerank_sql(iterations=5, damping=0.85)
+
+    sql["sssp"] = _sssp_sql(rounds=4)
 
     sql["bm25_search"] = _bm25_sql(k=10, k1=1.2, b=0.75)
 

@@ -56,6 +56,7 @@ HEADLINE = [
     "pagerank",
     "khop_reach",
     "triangle_count",
+    "sssp",
     "bm25_search",
     "funnel",
     "retention_cohorts",

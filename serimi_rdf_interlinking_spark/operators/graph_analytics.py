@@ -145,6 +145,72 @@ def k_hop(
     return visited
 
 
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Bounded-hop single-source(-set) shortest paths: after `rounds`
+    Bellman-Ford relaxations, (node, dist) holds the minimum path cost
+    from any seed using <= `rounds` edges (seeds at 0) — the fixed-
+    round semantics an independent engine can replay exactly.
+
+    Frontier-optimized: each round relaxes ONLY the out-edges of
+    nodes whose distance improved last round (classic SPFA pruning —
+    identical results to full relaxation by the prefix-improvement
+    argument, but settled regions of a 100-TB graph stop shuffling),
+    then folds improvements into the distance table with one
+    full-outer join. Early exit when no node improves.
+    """
+    e = (
+        edges.select(src, dst, weight)
+        .filter(F.col(src) != F.col(dst))
+        .groupBy(src, dst)
+        .agg(F.min(weight).alias("__w"))
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(rounds):
+        cand = (
+            frontier.join(e, frontier["node"] == e[src])
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("dist") + F.col("__w")).alias("nd"),
+            )
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = (
+            dist.join(cand, "node", "full_outer")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.col("nd")),
+                    F.coalesce(F.col("nd"), F.col("dist")),
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.col("nd") < F.col("dist"))
+                ).alias("__improved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.filter(F.col("__improved")).select("node", "dist")
+        dist = merged.select("node", "dist")
+        if frontier.isEmpty():
+            break
+    return dist
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -13,6 +13,7 @@ import pytest
 from serimi_rdf_interlinking_spark.operators.graph_analytics import (
     k_hop,
     pagerank,
+    sssp,
     triangle_count,
 )
 
@@ -98,6 +99,43 @@ def test_k_hop_early_exit_on_empty_frontier(spark):
         k=5,
     ).toPandas()
     assert dict(zip(out["node"], out["dist"])) == {99: 0}
+
+
+def _py_bellman_ford(edges: pd.DataFrame, seeds, rounds: int):
+    """Full (unpruned) relaxation — the textbook form, so it also
+    validates that the operator's frontier pruning changes nothing."""
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        cur = dict(dist)
+        for s, t, w in edges.itertuples(index=False):
+            if s in cur and cur[s] + w < dist.get(t, float("inf")):
+                dist[t] = cur[s] + w
+    return dist
+
+
+@pytest.mark.parametrize("seed,rounds", [(6, 2), (11, 4)])
+def test_sssp_matches_bellman_ford(spark, seed, rounds):
+    epd = _rand_edges(seed)
+    rng = np.random.default_rng(seed + 100)
+    epd = epd.assign(w=rng.integers(1, 10, len(epd)))
+    seeds = [0, 1]
+    out = sssp(
+        spark.createDataFrame(epd),
+        spark.createDataFrame(pd.DataFrame({"node": seeds})),
+        rounds=rounds,
+    ).toPandas()
+    got = dict(zip(out["node"], out["dist"]))
+    assert got == _py_bellman_ford(epd, seeds, rounds)
+
+
+def test_sssp_parallel_edges_take_min_weight(spark):
+    epd = pd.DataFrame({"src": [1, 1], "dst": [2, 2], "w": [9, 3]})
+    out = sssp(
+        spark.createDataFrame(epd),
+        spark.createDataFrame(pd.DataFrame({"node": [1]})),
+        rounds=1,
+    ).toPandas()
+    assert dict(zip(out["node"], out["dist"])) == {1: 0, 2: 3}
 
 
 def _brute_triangles(edges: pd.DataFrame):
