@@ -1778,6 +1778,36 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth streaming correctness row — the stream-static enrichment
+    join (streaming/ingest.py stream_enrich): events replayed
+    AvailableNow, LEFT joined per micro-batch to the broadcast
+    customer dimension, appended exactly-once; the sink is then
+    batch-aggregated per (segment, event_type) and diffed against the
+    plain batch join+aggregate oracle. Stateless streaming join, so no
+    watermark/flush machinery is needed for finality."""
+    from serimi_rdf_interlinking_spark.streaming.ingest import stream_enrich
+
+    base = _stream_scratch("enrich", sf_dir)
+    ev = _read(spark, sf_dir, "events")
+    dim = _read(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{base}/in")
+    with _stream_shuffle(spark):
+        q = stream_enrich(
+            spark, f"{base}/in", dim, f"{base}/out", f"{base}/ckpt"
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(f"{base}/out")
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("v"),
+        )
+        .orderBy("segment", "event_type")
+    )
+
+
 def q_stream_sessionize_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fourth streaming correctness row — the event-time sessionizer
     under OUT-OF-ORDER arrival (round-4 verdict #4: the ordered replay
@@ -2120,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_time_buckets": q_stream_time_buckets,
         "stream_sessionize": q_stream_sessionize,
         "stream_sessionize_ooo": q_stream_sessionize_ooo,
+        "stream_enrich": q_stream_enrich,
         "language_id": q_language_id,
         "media_features": q_media_features,
         "video_frames": q_video_frames,
@@ -3015,6 +3046,15 @@ FROM documents ORDER BY dedup_key
     # the final watermark past every real window, the append-mode
     # emissions equal the batch aggregate exactly (same SQL as
     # time_buckets)
+    # stream-static enrichment: the oracle is the equivalent BATCH
+    # left join + aggregate over the same tables.
+    sql["stream_enrich"] = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       count(*) AS n, round(sum(e.value), 6) AS v
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
     sql["stream_time_buckets"] = """
 SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS bucket, event_type,
        count(*) AS n, round(sum(value), 4) AS v

@@ -63,6 +63,7 @@ HEADLINE = [
     # training-data ops
     "dedup_exact",
     "stream_dedup_exact",
+    "stream_enrich",
     "stream_time_buckets",
     "stream_sessionize",
     "stream_sessionize_ooo",

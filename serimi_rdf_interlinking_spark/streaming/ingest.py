@@ -152,3 +152,48 @@ def stream_time_buckets(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_enrich(
+    spark: SparkSession,
+    events_dir: str,
+    dim_df,
+    out_dir: str,
+    checkpoint_dir: str,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    schema=None,
+):
+    """Stream-static enrichment join: the unbounded event stream LEFT
+    joined to a bounded dimension frame per micro-batch, appended
+    exactly-once to the sink.
+
+    Stateless (no watermark, no stream-stream buffering): the static
+    side is broadcast, so each micro-batch is one map-side hash join —
+    the scale-correct shape for dimension enrichment at ingestion time
+    (the static side is re-resolved per batch, which is also what
+    gives slowly-changing dimensions their freshness). Returns the
+    StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    if schema is None:
+        schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+    )
+    enriched = stream.join(
+        F.broadcast(dim_df),
+        stream[stream_key] == dim_df[dim_key],
+        "left",
+    ).drop(dim_key)
+    return (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
