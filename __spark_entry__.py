@@ -863,6 +863,56 @@ def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed sliding window (the frame class rows-framed
+    running_window does not cover): per user, the count and value-sum
+    of their events in the trailing hour, inclusive. Epoch-microsecond
+    framing on both engines (events carry sub-second timestamps, so
+    second-truncated framing would diverge)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "es", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.withColumn("n_1h", F.count("*").over(w))
+        .withColumn("v_1h", F.round(F.sum("value").over(w), 6))
+        .select("event_id", "user_id", "n_1h", "v_1h")
+        .orderBy("event_id")
+    )
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT / crosstab: per customer market segment, the count of
+    each event type as columns (explicit pivot value list so the
+    output schema is deterministic; empty cells coalesced to 0 to
+    match the SQL FILTER-count oracle)."""
+    types = ["view", "click", "purchase", "signup", "error"]
+    ev = _read(spark, sf_dir, "events")
+    dim = _read(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pivoted = (
+        ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"], "left")
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias(
+                "segment"
+            ),
+            "event_type",
+        )
+        .groupBy("segment")
+        .pivot("event_type", types)
+        .count()
+    )
+    return pivoted.select(
+        "segment",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    ).orderBy("segment")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (lag + gap cumsum): sessions with >1h gaps per
     user — the batch analogue of stateful streaming sessionization."""
@@ -2123,6 +2173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_rich_customers": q_idle_rich_customers,
         "semi_anti_join": q_semi_anti_join,
         "running_window": q_running_window,
+        "rolling_time_window": q_rolling_time_window,
+        "event_pivot": q_event_pivot,
         "sessionize": q_sessionize,
         "time_buckets": q_time_buckets,
         "asof_join": q_asof_join,
@@ -3046,6 +3098,27 @@ FROM documents ORDER BY dedup_key
     # the final watermark past every real window, the append-mode
     # emissions equal the batch aggregate exactly (same SQL as
     # time_buckets)
+    sql["rolling_time_window"] = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 6) AS v_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+    sql["event_pivot"] = """
+SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+       count(*) FILTER (WHERE e.event_type = 'view') AS n_view,
+       count(*) FILTER (WHERE e.event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE e.event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE e.event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE e.event_type = 'error') AS n_error
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
     # stream-static enrichment: the oracle is the equivalent BATCH
     # left join + aggregate over the same tables.
     sql["stream_enrich"] = """

@@ -50,6 +50,8 @@ HEADLINE = [
     "idle_rich_customers",
     "semi_anti_join",
     "running_window",
+    "rolling_time_window",
+    "event_pivot",
     "sessionize",
     "time_buckets",
     "asof_join",
