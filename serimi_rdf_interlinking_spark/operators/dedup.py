@@ -419,6 +419,109 @@ def simhash(
     )
 
 
+def _bucketed_pair_dots(
+    a: DataFrame,
+    b: DataFrame,
+    dim: int,
+    id_type: str,
+    min_dot: float,
+    salt: int = 8,
+) -> DataFrame:
+    """Within-bucket pair scoring: for every (id_a, id_b) sharing `blk`
+    with id_a < id_b, the RAW dot product of their (pre-normalized)
+    vectors — computed with the SAME left-to-right float addition order
+    as the dot_unrolled codegen chain, so the bits entering the
+    caller's round()/threshold are unchanged.
+
+    Shape (guide §4.2): the old plan evaluated a 64-term expression
+    chain inside a BroadcastHashJoin's join CONDITION — per probed
+    pair, outside any vectorization. Here the two sides cogroup by
+    bucket and each group runs ONE numpy float64 GEMM (BLAS) as a
+    sound PREFILTER (pairs provably below `min_dot` are dropped: the
+    GEMM's pairwise-summed dot differs from the sequential sum by
+    < 1e-9 for unit vectors at these dims, and `min_dot` carries a
+    1e-3 safety margin on top), then recomputes the exact
+    sequential-order dot ONLY for surviving pairs — vectorized across
+    pairs, sequential across dimensions, bit-identical per pair to the
+    JVM chain. The caller applies round + threshold in the JVM, so the
+    emitted semantics are exactly the old plan's.
+
+    Scale shape: the shuffle carries each vector once per probe key
+    (side a) / once per salt (side b) — never pair fan-out; per-task
+    memory is bounded by one (bucket, salt) slice of side b plus an
+    a-row chunk of the score matrix (chunked below). `salt`
+    deterministically splits side a (pmod(xxhash64(id_a), salt)) and
+    replicates side b per salt value, multiplying available
+    parallelism beyond the 2^n_planes bucket count (guide §2.5: a
+    16-value join key caps the heavy stage at 16 tasks)."""
+    import numpy as np
+    import pandas as pd
+
+    # both sides' salt MUST be the same type (long): cogroup co-
+    # partitions each side by its own key hash, and Spark hashes int32
+    # and int64 values differently — a bigint-vs-int salt silently
+    # sends matching groups to different partitions (measured: ~half
+    # the pairs nondeterministically dropped)
+    a = a.withColumn("salt", F.pmod(F.xxhash64("id_a"), F.lit(salt)))
+    b = b.withColumn(
+        "salt",
+        F.explode(F.array(*[F.lit(s).cast("long") for s in range(salt)])),
+    )
+
+    def score(a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "dot": []})
+        if a_pdf.empty or b_pdf.empty:
+            return empty
+        ids_a = a_pdf["id_a"].to_numpy()
+        ids_b = b_pdf["id_b"].to_numpy()
+        A = np.array(list(a_pdf["va"]), dtype=np.float64)
+        B = np.array(list(b_pdf["vb"]), dtype=np.float64)
+        if dim == 0:
+            A = A.reshape(len(ids_a), 0)
+            B = B.reshape(len(ids_b), 0)
+        out_a, out_b, out_d = [], [], []
+        # chunk side a so the (chunk, |b|) score matrix stays ~160 MB
+        # regardless of bucket size
+        chunk = max(256, int(2e7 / max(len(ids_b), 1)))
+        for lo in range(0, len(ids_a), chunk):
+            Ac = A[lo : lo + chunk]
+            ia_c = ids_a[lo : lo + chunk]
+            S = Ac @ B.T  # one GEMM: (chunk, nb)
+            with np.errstate(invalid="ignore"):
+                mask = (S >= min_dot) & (ia_c[:, None] < ids_b[None, :])
+            ia, ib = np.nonzero(mask)
+            if ia.size == 0:
+                continue
+            As, Bs = Ac[ia], B[ib]
+            if dim == 0:
+                acc = np.zeros(ia.size)
+            else:
+                # exact sequential order: ((a0*b0 + a1*b1) + a2*b2)...
+                # — vectorized over pairs, ordered over dims, the same
+                # IEEE double chain dot_unrolled codegens
+                acc = As[:, 0] * Bs[:, 0]
+                for i in range(1, dim):
+                    acc = acc + As[:, i] * Bs[:, i]
+            out_a.append(ia_c[ia])
+            out_b.append(ids_b[ib])
+            out_d.append(acc)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "dot": np.concatenate(out_d),
+            }
+        )
+
+    return (
+        a.groupby("blk", "salt")
+        .cogroup(b.groupby("blk", "salt"))
+        .applyInPandas(score, f"id_a {id_type}, id_b {id_type}, dot double")
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -444,14 +547,19 @@ def embedding_near_dup(
     ~1/2**n_planes of the corpus — the quadratic term is bounded. The
     all-pairs cartesian now requires an explicit
     ``allow_cartesian=True`` (round-2 verdict #7)."""
+    from .partitioning import widen_to_cluster
     from .similarity import unit_vec
 
-    # normalize once per vector (not per pair) — see similarity.unit_vec
+    # normalize once per vector (not per pair) — see similarity.unit_vec.
+    # widen first: the normalize + bucket projections run in the scan's
+    # tasks, and a single-file fixture input would serialize them.
     e = unit_vec(
-        embeddings.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v0"),
-            *([F.col(block_col).alias("blk")] if block_col else []),
+        widen_to_cluster(
+            embeddings.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v0"),
+                *([F.col(block_col).alias("blk")] if block_col else []),
+            )
         ),
         "v0",
         "v",
@@ -465,7 +573,6 @@ def embedding_near_dup(
                 "all-pairs cartesian — fine for small corpora only"
             )
             e = e.withColumn("blk", F.lit(0).cast("long"))
-            a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "blk")
         else:
             from .similarity import _hyperplanes, srp_bucket
 
@@ -474,40 +581,37 @@ def embedding_near_dup(
             # them on the raw embedding; normalization cannot flip a
             # sign mathematically, but boundary floats could)
             e = e.withColumn("blk", srp_bucket(F.col("v0"), planes))
-            probes = F.array(
-                F.col("blk"),
-                *[
-                    F.col("blk").bitwiseXOR(F.lit(1 << i))
-                    for i in range(n_planes)
-                ],
-            )
-            a = e.select(
-                F.col("id").alias("id_a"),
-                F.col("v").alias("va"),
-                F.explode(probes).alias("blk"),
-            )
+    # the normalized+bucketed frame feeds BOTH cogroup sides; left
+    # lazy the interpreted normalize/bucket HOFs would run twice.
+    # localCheckpoint is in-memory-with-disk-spill and sized like the
+    # input (one row per vector), so it holds at any scale the cogroup
+    # itself holds.
+    e = e.select("id", "v", "blk").localCheckpoint(eager=True)
+    if block_col is None and not allow_cartesian:
+        probes = F.array(
+            F.col("blk"),
+            *[
+                F.col("blk").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        )
+        a = e.select(
+            F.col("id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.explode(probes).alias("blk"),
+        )
     else:
         a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "blk")
-    # the b side broadcasts (small per-block dimension frame), so the
-    # pair fan-out materializes in the A side's tasks — which inherit
-    # the SCAN partitioning. A small single-file input would serialize
-    # millions of pairs behind one task (measured: the whole join in
-    # 1 task with 31 cores idle); spread the a side to cluster
-    # parallelism first. At real scale the scan already has that many
-    # partitions and this shuffle is row-count-trivial either way.
-    par = max(embeddings.sparkSession.sparkContext.defaultParallelism, 1)
-    a = a.repartition(par)
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "blk")
-    # vectors are pre-normalized, so the per-pair work is ONE dot
-    # product — unrolled into a codegen'd chain (fixed dim), not an
-    # interpreted higher-order fold
-    from .similarity import dot_unrolled
-
-    dot = dot_unrolled(F.col("va"), F.col("vb"), dim)
+    # pair scoring: cogrouped GEMM prefilter + exact-order rescore
+    # (see _bucketed_pair_dots) — the JVM applies the SAME round +
+    # threshold the old in-join expression chain did, on the SAME bits
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    pairs = _bucketed_pair_dots(
+        a, b, dim, id_type, min_dot=threshold - 1e-3
+    )
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(dot, 6))
+        pairs.withColumn("cos", F.round(F.col("dot"), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
         .orderBy("id_a", "id_b")
