@@ -57,6 +57,19 @@ def _stream_scratch(query: str, sf_dir: str) -> str:
 _STREAM_SCRATCH_DIRS: set = set()
 
 
+def _session_state_width(spark: SparkSession, n_rows: int) -> int:
+    """Shuffle/state width for the Python-stateful sessionize replays,
+    derived from input size instead of a constant: the per-(group,
+    batch) Python call is the wall at large inputs (measured 27.6s →
+    17.2s at sf1.0 going 8 → 16 partitions, identical output — emitted
+    sessions are partition-count-independent), while at fixture scale
+    the extra state-store deltas per micro-batch are pure overhead
+    (the round-5 right-sizing). ~30k rows per state partition, floored
+    at the fixture-scale 8, capped at cluster parallelism."""
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    return max(8, min(par, n_rows // 30_000))
+
+
 @contextmanager
 def _stream_shuffle(spark: SparkSession, n: int = 8):
     """Right-size shuffle width for a streaming replay. Stateful
@@ -146,7 +159,14 @@ def q_stopword_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 (serimi_module.rb:280-343): token document-frequency over
     normalized document text; stop word iff freq >= mean(freq) and
     len > 1. Returns the flagged tokens with frequencies."""
-    docs = _read(spark, sf_dir, "documents")
+    from serimi_rdf_interlinking_spark.operators.partitioning import (
+        widen_to_cluster,
+    )
+
+    # widen: the regex tokenize + explode + map-side aggregation run
+    # in the scan's tasks; a single-file documents input serializes
+    # them behind one core (per-row compute, not I/O, dominates here)
+    docs = widen_to_cluster(_read(spark, sf_dir, "documents"))
     n = docs.count()
     toks = docs.select(
         F.explode(
@@ -1449,8 +1469,11 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = _stream_scratch("dedup", sf_dir)
-    docs = _read(spark, sf_dir, "documents").withColumn(
-        "ts", F.timestamp_seconds(F.lit(1_600_000_000))
+    # projected to (ts, text): the dedup key derives from text and the
+    # watermark from ts; the query reads only the surviving key set,
+    # so lang/source/n_chars never ride the replay or the sink
+    docs = _read(spark, sf_dir, "documents").select(
+        F.timestamp_seconds(F.lit(1_600_000_000)).alias("ts"), "text"
     )
     docs.write.mode("overwrite").parquet(f"{base}/in")
     with _stream_shuffle(spark):
@@ -1719,7 +1742,11 @@ def q_stream_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = _stream_scratch("buckets", sf_dir)
-    ev = _read(spark, sf_dir, "events")
+    # projected to (ts, event_type, value): the windowed aggregate
+    # reads nothing else, so the replay write and the per-microbatch
+    # scan skip the event_id/user_id/props payload (guide §2.3:
+    # project before the exchange). The emitted windows are unchanged.
+    ev = _read(spark, sf_dir, "events").select("ts", "event_type", "value")
     max_ts = ev.agg(F.max(F.unix_timestamp("ts")).alias("m")).collect()[0][0]
     if max_ts is None:  # empty events table: batch aggregate is empty too
         return spark.createDataFrame(
@@ -1727,12 +1754,9 @@ def q_stream_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     flush_ts = max_ts + 86_400
     sentinel = ev.limit(1).select(
-        F.lit(-1).cast("long").alias("event_id"),
         F.timestamp_seconds(F.lit(flush_ts)).cast("timestamp_ntz").alias("ts"),
-        F.lit(-1).cast("long").alias("user_id"),
         F.lit("__flush__").alias("event_type"),
         F.lit(0.0).alias("value"),
-        F.lit("").alias("props"),
     )
     ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(
         f"{base}/in"
@@ -1776,14 +1800,24 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = _stream_scratch("sessionize", sf_dir)
-    ev = _read(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
+    # project to the columns the sessionizer touches (event_id, ts,
+    # user_id): every input column rides the replay write, the state
+    # operator's shuffle AND the Arrow boundary into the per-group
+    # pandas function — the dropped event_type/value/props payload is
+    # pure dead weight on all three (guide §4.1: pass only the columns
+    # the function needs). The emitted sessions are unchanged.
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
     )
-    max_ts = ev.agg(F.max(F.unix_timestamp("ts")).alias("m")).collect()[0][0]
+    stats = ev.agg(
+        F.max(F.unix_timestamp("ts")).alias("m"), F.count("*").alias("n")
+    ).collect()[0]
+    max_ts = stats.m
     if max_ts is None:
         return spark.createDataFrame(
             [], "user_id long, n_sessions long, n_events long"
         )
+    width = _session_state_width(spark, int(stats.n))
     (
         ev.repartition(1)
         .sortWithinPartitions("ts", "event_id")
@@ -1798,9 +1832,6 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("event_id"),
             F.timestamp_seconds(F.lit(max_ts + 86_400)).alias("ts"),
             "user_id",
-            F.lit("__flush__").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit("").alias("props"),
         )
     )
     flush.coalesce(1).write.mode("append").parquet(f"{base}/in")
@@ -1810,7 +1841,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bump = max(os.path.getmtime(p) for p in first) + 2
     for p in set(glob.glob(f"{base}/in/*.parquet")) - first:
         os.utime(p, (bump, bump))
-    with _stream_shuffle(spark):
+    with _stream_shuffle(spark, width):
         q = stream_sessionize_event_time(
             spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
             gap_seconds=3600.0, watermark_delay="10 minutes",
@@ -1839,7 +1870,13 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serimi_rdf_interlinking_spark.streaming.ingest import stream_enrich
 
     base = _stream_scratch("enrich", sf_dir)
-    ev = _read(spark, sf_dir, "events")
+    # projected to (user_id, event_type, value): the join key plus the
+    # two columns the sink aggregate reads — props/event_id/ts never
+    # enter the replay write, the per-batch join or the sink (guide
+    # §2.3). The declared (segment, event_type) aggregate is unchanged.
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
     dim = _read(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     ev.coalesce(1).write.mode("overwrite").parquet(f"{base}/in")
     with _stream_shuffle(spark):
@@ -1886,17 +1923,22 @@ def q_stream_sessionize_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = _stream_scratch("sessionize_ooo", sf_dir)
-    ev = _read(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
+    # projected to (event_id, ts, user_id) — see q_stream_sessionize:
+    # the chunker, the state shuffle and the Arrow boundary all carry
+    # only what the sessionizer reads; emitted sessions unchanged
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
     )
     bounds = ev.agg(
         F.min(F.unix_timestamp("ts")).alias("lo"),
         F.max(F.unix_timestamp("ts")).alias("hi"),
+        F.count("*").alias("n"),
     ).collect()[0]
     if bounds.lo is None:
         return spark.createDataFrame(
             [], "user_id long, n_sessions long, n_events long"
         )
+    width = _session_state_width(spark, int(bounds.n))
     lo, hi = int(bounds.lo), int(bounds.hi)
     span = max(hi - lo + 1, 4)
     es = F.unix_timestamp("ts")
@@ -1945,16 +1987,13 @@ def q_stream_sessionize_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("event_id"),
             F.timestamp_seconds(F.lit(hi + 86_400)).alias("ts"),
             "user_id",
-            F.lit("__flush__").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit("").alias("props"),
         )
     )
     flush.coalesce(1).write.mode("append").parquet(f"{base}/in")
     mtime += 2
     for p in set(glob.glob(f"{base}/in/*.parquet")) - seen:
         os.utime(p, (mtime, mtime))
-    with _stream_shuffle(spark):
+    with _stream_shuffle(spark, width):
         q = stream_sessionize_event_time(
             spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
             gap_seconds=3600.0, watermark_delay="6 hours",

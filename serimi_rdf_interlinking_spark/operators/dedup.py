@@ -89,7 +89,15 @@ def _shingle_rows(
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: canonical row per normalized text = min id.
-    Returns (doc_id, canonical_id, n_copies)."""
+    Returns (doc_id, canonical_id, n_copies).
+
+    Widened first: `keyed` feeds two plan subtrees (the canonical
+    aggregate and the join back), so the normalization regex runs
+    twice — on a single-file input both passes serialize behind one
+    scan task (measured 12s at 50k docs; ~1s widened)."""
+    from .partitioning import widen_to_cluster
+
+    docs = widen_to_cluster(docs)
     keyed = docs.select(F.col(id_col), _norm(text_col).alias("k"))
     canon = keyed.groupBy("k").agg(
         F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies")
@@ -139,12 +147,17 @@ def ngram_jaccard_pairs(
     shingles is logged (no silent caps). The hot set is tiny (df above
     the ceiling), so it is broadcast for the anti-join.
 
+    The shingle frame is materialized once (localCheckpoint): it feeds
+    the hot-shingle scan plus three plan subtrees (sizes, both sides of
+    the inverted join), which would otherwise each re-run the full
+    regex+tokenize+explode pass.
+
     The DEFAULT is ``"auto"`` = max(1000, ceil(0.01 * n_docs)) — the
     naive call must not get the quadratic hot-shingle behavior the
     guard exists to prevent (round-4 verdict #8). A shingle in >1% of
     a large corpus is boilerplate, not near-dup signal. Pass an int to
     set the ceiling explicitly, or None to disable the guard."""
-    sh = _shingle_rows(docs, id_col, text_col, n)
+    sh = _shingle_rows(docs, id_col, text_col, n).localCheckpoint(eager=True)
     if max_shingle_df == "auto":
         import math as _math
 
@@ -237,6 +250,13 @@ def minhash_signatures(
       candidate recall — candidates are always verified with exact
       Jaccard downstream."""
     sh = _shingle_rows(docs, id_col, text_col, n)
+    return _signatures_from_shingles(sh, num_hashes)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """minhash_signatures' aggregation half, split out so callers that
+    already hold the (id, sh) shingle frame (minhash_lsh_pairs) can
+    reuse one materialization instead of re-deriving the shingles."""
     x = (
         F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10)
         .cast("long")
@@ -273,7 +293,14 @@ def minhash_lsh_pairs(
     band key. Returns (id_a, id_b, jaccard)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, n)
+    # ONE shingle materialization for the whole pipeline: the (id, sh)
+    # frame feeds four plan subtrees (signatures, per-doc sizes, both
+    # sides of the verify join) and Spark re-executes a shared subtree
+    # once per consumer within one action — measured 4 full
+    # regex+tokenize+explode passes over the corpus before this
+    # localCheckpoint (guide §2.4: don't compute things twice).
+    sh = _shingle_rows(docs, id_col, text_col, n).localCheckpoint(eager=True)
+    sig = _signatures_from_shingles(sh, num_hashes)
     # hashes within a band concatenate in numeric-sorted order so the
     # key is order-insensitive (engine-portable)
     banded = (
@@ -310,7 +337,6 @@ def minhash_lsh_pairs(
     # Per-doc sizes are computed over ALL docs instead of semi-joining
     # to candidates — one map-side-combined, doc-count-sized aggregate,
     # cheaper at every scale than re-deriving cand for the semi-join.
-    sh = _shingle_rows(docs, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     co = (
         cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")

@@ -74,10 +74,17 @@ def pagerank(
 
     ranks = base.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
-        dangling = (
-            ranks.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # dangling mass as a ONE-ROW frame crossJoined into the rank
+        # update instead of a driver collect: the collect version ran a
+        # full extra job (scan + agg over the rank table) per round —
+        # 2x the job count at high iteration counts — where the cross
+        # join folds it into the round's single materializing job as a
+        # broadcast of one row. Same aggregate, same partial-sum order
+        # over the checkpointed rank table, and dm/n divides in IEEE
+        # double exactly like the collected python float did — ranks
+        # stay bit-identical (oracle-hash-verified).
+        dangling = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         contribs = (
             e.join(
@@ -90,13 +97,17 @@ def pagerank(
         )
         ranks = (
             base.join(contribs, base["node"] == contribs["dst"], "left")
+            .crossJoin(dangling)
             .select(
                 "node",
                 "deg",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

@@ -73,13 +73,17 @@ def bm25_topk(
         _partial_topk,
     )
 
+    from .partitioning import widen_to_cluster
+
     # ONE scan + tokenize of the corpus: the postings are materialized
     # (eager localCheckpoint) because three consumers (df, stats via
     # dl, the scoring join) would otherwise each re-execute the
     # explode+aggregate subtree (plan-audited: 4 corpus scans); dl is
     # derived from tf (sum of term frequencies == token count), never
-    # from a second pass over the token stream.
-    toks = tokenize(docs, id_col, text_col)
+    # from a second pass over the token stream. Widened first: the
+    # tokenize explode + partial aggregation run in the scan's tasks,
+    # and a single-file input serializes them behind one core.
+    toks = tokenize(widen_to_cluster(docs), id_col, text_col)
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))

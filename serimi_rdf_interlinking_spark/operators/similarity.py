@@ -298,47 +298,60 @@ def ann_ivf_topk(
        centroids and brute-force only those lists, then the truncating
        top-k merges. Recall vs cosine_topk is asserted in tests.
     Returns (query_id, neighbor_id, cos, rk)."""
+    from .partitioning import widen_to_cluster
+
     dim = _probe_dim(embeddings, vec_col)
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    # widened + materialized once: the frame feeds the seed pick, the
+    # Lloyd aggregate, the list assignment and the scoring join — left
+    # lazy each consumer re-runs the scan + interpreted normalize HOF
+    # (on a single-file fixture input: all behind one task).
     corpus = unit_vec(
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("v0"),
+        widen_to_cluster(
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("v0"),
+            )
         ),
         "v0",
         "v",
-    ).drop("v0")
-    seeds = F.broadcast(
-        corpus.orderBy("neighbor_id")
-        .limit(n_centroids)
-        .select(
-            F.col("neighbor_id").alias("cluster"), F.col("v").alias("c")
-        )
-    )
+    ).drop("v0").localCheckpoint(eager=True)
 
-    def assign(vecs: DataFrame, idc: str, vcol: str, cents) -> DataFrame:
-        """(idc, vcol, cluster): argmax_j dot(vec, centroid_j), ties to
-        the smallest cluster id. Grouped on the id with the vector
-        carried via first() (identical across the K candidate rows).
-        The HOF dot is the right tool HERE: an unrolled chain inside
-        the K-way cross join was measured SLOWER (the K x dim term
-        blow-up overruns codegen method limits); both fold
-        left-to-right, so either is oracle-bit-identical."""
-        scored = vecs.join(cents, how="cross").withColumn(
-            "sim", _dot(F.col(vcol), F.col("c"))
-        )
-        return (
-            scored.groupBy(idc)
-            .agg(
-                F.first(vcol).alias(vcol),
-                F.min(
-                    F.struct((-F.col("sim")).alias("ns"), F.col("cluster"))
-                ).alias("b"),
+    def argmax_cluster(vcol: str, cents: list) -> Column:
+        """argmax_j dot(vec, centroid_j), ties to the smallest cluster
+        id, as ONE codegen projection: least() over (-sim, cluster)
+        structs is the same lexicographic min the old groupBy-min
+        computed, and dot_unrolled sums in the same left-to-right order
+        as the HOF fold (±0.0 folds differ but compare equal), so the
+        assignment is bit-identical — without the K-way cross join +
+        vector-carrying groupBy shuffle per assignment pass."""
+        cands = [
+            F.struct(
+                (-dot_unrolled(
+                    F.col(vcol),
+                    F.array(*[F.lit(float(x)) for x in cvec]),
+                    dim,
+                )).alias("ns"),
+                F.lit(cid).alias("cluster"),
             )
-            .withColumn("cluster", F.col("b.cluster"))
-            .drop("b")
-        )
+            for cid, cvec in cents
+        ]
+        best = cands[0] if len(cands) == 1 else F.least(*cands)
+        return best["cluster"]
 
-    assigned0 = assign(corpus, "neighbor_id", "v", seeds)
+    # seed centroids: the n_centroids smallest-id unit vectors —
+    # collected (bounded: n_centroids rows) so the assignment becomes a
+    # literal projection instead of a join
+    seed_rows = (
+        corpus.orderBy("neighbor_id").limit(n_centroids).collect()
+    )
+    seeds = [(r.neighbor_id, list(r.v)) for r in seed_rows]
+    if not seeds:
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            f"query_id {id_type}, neighbor_id {id_type}, cos double, rk int",
+        )
+    assigned0 = corpus.withColumn("cluster", argmax_cluster("v", seeds))
     # one Lloyd step: per-dimension mean of members, rounded (engine-
     # portable). Shaped as ONE array aggregate — posexplode to
     # (cluster, pos, x), avg per (cluster, pos), fold back into the
@@ -347,8 +360,10 @@ def ann_ivf_topk(
     # overruns codegen method limits, while this shape is
     # dim-independent (plan-asserted in tests at 512 dims). The
     # round(avg, 6) contract is unchanged, so the SQL oracle's
-    # per-dimension averages still match bit-for-bit.
-    refined = F.broadcast(
+    # per-dimension averages still match bit-for-bit; collecting the
+    # K refined centroids (bounded) keeps the reassignment a literal
+    # projection too.
+    refined_rows = (
         assigned0.select("cluster", F.posexplode("v").alias("pos", "x"))
         .groupBy("cluster", "pos")
         .agg(F.round(F.avg("x"), 6).alias("m"))
@@ -359,8 +374,10 @@ def ann_ivf_topk(
                 lambda s: s["m"],
             ).alias("c")
         )
+        .collect()
     )
-    lists = assign(corpus, "neighbor_id", "v", refined)
+    refined = [(r.cluster, list(r.c)) for r in refined_rows]
+    lists = corpus.withColumn("cluster", argmax_cluster("v", refined))
 
     q = unit_vec(
         queries.select(
@@ -370,18 +387,28 @@ def ann_ivf_topk(
         "qv0",
         "qv",
     ).drop("qv0")
-    # n_probe nearest refined centroids per query: the window ranks K
-    # centroid rows per query (K = n_centroids, tiny) — not a corpus
-    # fan-in, so a window is the right tool here
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cluster"))
+    # n_probe nearest refined centroids per query, as a per-row
+    # sort_array over the K (tiny) centroid candidates — the same
+    # (desc sim, asc cluster) order the old row_number window ranked,
+    # without the window's shuffle
+    probe_cands = F.array(
+        *[
+            F.struct(
+                (-dot_unrolled(
+                    F.col("qv"),
+                    F.array(*[F.lit(float(x)) for x in cvec]),
+                    dim,
+                )).alias("ns"),
+                F.lit(cid).alias("cluster"),
+            )
+            for cid, cvec in refined
+        ]
+    )
     probes = (
-        q.join(refined, how="cross")
-        .withColumn("sim", _dot(F.col("qv"), F.col("c")))
-        .withColumn("prk", F.row_number().over(w))
-        .filter(F.col("prk") <= n_probe)
-        .select("query_id", "qv", "cluster")
+        q.withColumn(
+            "pr", F.explode(F.slice(F.sort_array(probe_cands), 1, n_probe))
+        )
+        .select("query_id", "qv", F.col("pr.cluster").alias("cluster"))
     )
     scored = (
         lists.join(F.broadcast(probes), "cluster")

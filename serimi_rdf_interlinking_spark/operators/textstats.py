@@ -1,12 +1,21 @@
 """Text analysis over document tables: language-ID, quality scoring,
 token counting, fingerprinting. Pure column expressions (codegen'd);
 each has an exact ANSI-SQL mirror for oracle checks.
+
+Every operator widens its input to cluster parallelism first
+(operators/partitioning.py): the per-row regex/tokenize work runs in
+the SCAN's tasks, and a single-file fixture input serializes the whole
+corpus behind one core (measured: quality_score 14s over 50k docs on 1
+task; ~1s after widening). On a properly-split scan the widen is a
+no-op.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .partitioning import widen_to_cluster
 
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "it"],
@@ -32,6 +41,7 @@ def language_id(
 
     Per-row marker counts (array filter on the token array): a pure
     scan, no explode+groupBy shuffle."""
+    docs = widen_to_cluster(docs)
     toks = docs.select(F.col(id_col), _tokens(text_col).alias("toks"))
     per_doc = toks.select(
         id_col,
@@ -58,15 +68,42 @@ def quality_score(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Heuristic quality: length, alpha ratio, stopword ratio, mean
-    token length. score = clamped blend in [0,1] (rounded to 6)."""
+    token length. score = clamped blend in [0,1] (rounded to 6).
+
+    Staged projections, not one expression tree: the ratio/score
+    formulas reference the heavy subexpressions (two per-char regex
+    rewrites, the tokenize chain, the interpreted stopword filter)
+    many times, and Catalyst re-inlines a multiply-referenced alias's
+    tree per reference — measured ~10 full tokenize evaluations per
+    row in the single-select form (49s at 50k docs; ~1s staged).
+    CollapseProject keeps the stages separate precisely because the
+    aliases are expensive and multiply-referenced; the arithmetic is
+    unchanged, so the output is bit-identical."""
+    docs = widen_to_cluster(docs)
     t = F.col(text_col)
-    n_chars = F.length(t)
-    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    n_ws = F.length(F.regexp_replace(t, r"[^ ]", ""))
-    toks = _tokens(text_col)
-    n_tok = F.size(toks)
     en_sw = LANG_MARKERS["en"]
-    n_sw = F.size(F.filter(toks, lambda x: x.isin(en_sw)))
+    # stage 1: each heavy expression exactly once per row
+    base = docs.select(
+        F.col(id_col),
+        F.length(t).alias("_nc"),
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).alias("_na"),
+        F.length(F.regexp_replace(t, r"[^ ]", "")).alias("_nw"),
+        _tokens(text_col).alias("_toks"),
+    )
+    # stage 2: token counts from the materialized array
+    counts = base.select(
+        id_col,
+        "_nc",
+        "_na",
+        "_nw",
+        F.size(F.col("_toks")).alias("_nt"),
+        F.size(
+            F.filter(F.col("_toks"), lambda x: x.isin(en_sw))
+        ).alias("_nsw"),
+    )
+    # stage 3: the original formulas over plain attributes
+    n_chars, n_alpha, n_ws = F.col("_nc"), F.col("_na"), F.col("_nw")
+    n_tok, n_sw = F.col("_nt"), F.col("_nsw")
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
     sw_ratio = F.when(n_tok > 0, n_sw / n_tok).otherwise(F.lit(0.0))
     mean_tok_len = F.when(n_tok > 0, (n_chars - n_ws) / n_tok).otherwise(F.lit(0.0))
@@ -77,7 +114,7 @@ def quality_score(
     score = F.round(
         0.3 * len_score + 0.3 * alpha_ratio + 0.2 * sw_ratio + 0.2 * tok_len_score, 6
     )
-    return docs.select(
+    return counts.select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars_m"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
@@ -91,6 +128,7 @@ def token_counts(
 ) -> DataFrame:
     """(doc_id, ws_tokens, bpe_ish_tokens): whitespace tokens and a
     BPE-ish regex token count (word pieces + standalone punctuation)."""
+    docs = widen_to_cluster(docs)
     t = F.col(text_col)
     ws = F.size(F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit("")))
     bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
@@ -107,6 +145,7 @@ def fingerprint(
     """Document fingerprints: md5 of the normalized text (exact-dup
     key) and md5 of the sorted distinct token set (bag-of-words key,
     order/shuffle-insensitive)."""
+    docs = widen_to_cluster(docs)
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]+", " ")))
     bow = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(text_col))))
     return docs.select(
@@ -142,6 +181,7 @@ def pack_documents(
 
     from pyspark.sql import functions as F
 
+    docs = widen_to_cluster(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(

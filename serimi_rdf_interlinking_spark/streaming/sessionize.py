@@ -151,55 +151,88 @@ def make_event_time_sessionizer(gap_seconds: float = 3600.0):
     batch lag+cumsum query (asserted by the cross-batch out-of-order
     parity test). State is O(active users + buffered late window),
     sharded by the groupBy(user_id) shuffle."""
+    import numpy as np
+
     gap_us = int(gap_seconds * 1_000_000)
+    _empty = np.empty(0, dtype=np.int64)
 
     def sessionize(
         key: Tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state,
     ) -> Iterator[pd.DataFrame]:
+        # Vectorized form of the original per-event fold (new session
+        # when the gap to the previous event exceeds gap_us): the fold
+        # over watermark-safe events is segment arithmetic over the
+        # sorted timestamp array — identical session ids, bounds and
+        # counts, without a per-event Python loop. The per-(group,
+        # micro-batch) call count is fixed by the operator contract, so
+        # the per-call constant is the optimization axis here.
         user_id = int(key[0])
         if state.exists:
-            session_id, start_us, last_us, n_events, buf_us, buf_id = state.get
-            buf = list(zip(buf_us or (), buf_id or ()))
+            session_id, start_us, last_us, n_events, sb_us, sb_id = state.get
+            bu = np.asarray(sb_us if sb_us is not None else (), dtype=np.int64)
+            bi = np.asarray(sb_id if sb_id is not None else (), dtype=np.int64)
         else:
             session_id, start_us, last_us, n_events = 0, None, None, 0
-            buf = []
-
-        closed: list[tuple[int, int, int, int]] = []
-
-        def fold(t: int) -> None:
-            nonlocal session_id, start_us, last_us, n_events
-            if start_us is None:
-                session_id += 1
-                start_us, last_us, n_events = t, t, 1
-            elif t - last_us > gap_us:
-                closed.append((session_id, start_us, last_us, n_events))
-                session_id += 1
-                start_us, last_us, n_events = t, t, 1
-            else:
-                last_us = t
-                n_events += 1
+            bu = bi = _empty
 
         if not state.hasTimedOut:
+            parts_u, parts_i = [bu], [bi]
             for pdf in pdfs:
-                if pdf.empty:
-                    continue
-                us = (
-                    pd.to_datetime(pdf["ts"])
-                    .astype("datetime64[ns]")
-                    .astype("int64")
-                    // 1000
-                ).to_numpy()
-                ids = pdf["event_id"].to_numpy()
-                buf.extend((int(t), int(i)) for t, i in zip(us, ids))
+                if len(pdf):
+                    ts = pdf["ts"].to_numpy()
+                    parts_u.append(
+                        ts.astype("datetime64[ns]").view("int64") // 1000
+                    )
+                    parts_i.append(
+                        pdf["event_id"].to_numpy().astype(np.int64)
+                    )
+            if len(parts_u) > 1:
+                bu = np.concatenate(parts_u)
+                bi = np.concatenate(parts_i)
 
         wm_us = state.getCurrentWatermarkMs() * 1000
-        buf.sort()
-        safe = [t for t, _ in buf if t <= wm_us]
-        buf = [(t, i) for t, i in buf if t > wm_us]
-        for t in safe:
-            fold(t)
+        if len(bu):
+            # the original buffered (t, id) tuples and list.sort()ed
+            # them — lexsort on (id, t) reproduces that order exactly
+            order = np.lexsort((bi, bu))
+            bu = bu[order]
+            bi = bi[order]
+            n_safe = int(np.searchsorted(bu, wm_us, side="right"))
+        else:
+            n_safe = 0
+
+        closed: list[tuple[int, int, int, int]] = []
+        if n_safe:
+            t = bu[:n_safe]
+            isnew = np.empty(n_safe, dtype=bool)
+            isnew[0] = (start_us is None) or (int(t[0]) - last_us > gap_us)
+            if n_safe > 1:
+                np.greater(t[1:] - t[:-1], gap_us, out=isnew[1:])
+            starts = np.flatnonzero(isnew)
+            if len(starts) == 0:
+                # every safe event extends the open session
+                last_us = int(t[-1])
+                n_events += n_safe
+            else:
+                first = int(starts[0])
+                if start_us is not None:
+                    if first > 0:
+                        # head events extend the open session before
+                        # the first boundary closes it
+                        last_us = int(t[first - 1])
+                        n_events += first
+                    closed.append((session_id, start_us, last_us, n_events))
+                bounds = np.append(starts, n_safe)
+                for j in range(len(starts)):
+                    s, e = int(bounds[j]), int(bounds[j + 1])
+                    session_id += 1
+                    start_us, last_us, n_events = int(t[s]), int(t[e - 1]), e - s
+                    if j < len(starts) - 1:
+                        closed.append(
+                            (session_id, start_us, last_us, n_events)
+                        )
         # close the open session once the watermark proves no extender
         # can arrive: every future event (including anything still
         # buffered) is > wm > last + gap, so it would START a new
@@ -208,7 +241,8 @@ def make_event_time_sessionizer(gap_seconds: float = 3600.0):
             closed.append((session_id, start_us, last_us, n_events))
             start_us, last_us, n_events = None, None, 0
 
-        if last_us is None and not buf:
+        rb_u, rb_i = bu[n_safe:], bi[n_safe:]
+        if last_us is None and not len(rb_u):
             if state.exists:
                 state.remove()
         else:
@@ -218,8 +252,8 @@ def make_event_time_sessionizer(gap_seconds: float = 3600.0):
                     start_us,
                     last_us,
                     n_events,
-                    [t for t, _ in buf],
-                    [i for _, i in buf],
+                    rb_u.tolist(),
+                    rb_i.tolist(),
                 )
             )
             # wake up when the open session becomes closeable, or when
@@ -227,20 +261,21 @@ def make_event_time_sessionizer(gap_seconds: float = 3600.0):
             nxt = None
             if last_us is not None:
                 nxt = last_us + gap_us
-            if buf:
-                first_buf = buf[0][0]
+            if len(rb_u):
+                first_buf = int(rb_u[0])
                 nxt = first_buf if nxt is None else min(nxt, first_buf)
             if nxt is not None:
                 # timeout timestamps must be > current watermark
                 state.setTimeoutTimestamp(max(nxt // 1000 + 1, wm_us // 1000 + 1))
         if closed:
+            arr = np.asarray(closed, dtype=np.int64)
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id] * len(closed),
-                    "session_id": [c[0] for c in closed],
-                    "n_events": [c[3] for c in closed],
-                    "start_us": [c[1] for c in closed],
-                    "end_us": [c[2] for c in closed],
+                    "user_id": np.full(len(closed), user_id, dtype=np.int64),
+                    "session_id": arr[:, 0],
+                    "n_events": arr[:, 3],
+                    "start_us": arr[:, 1],
+                    "end_us": arr[:, 2],
                 }
             )
 

@@ -327,10 +327,15 @@ def test_ivf_lloyd_plan_is_dim_independent(spark):
     queries = embs.filter(F.col("vec_id") < 2)
     df = ann_ivf_topk(embs, queries, k=3, n_centroids=4, n_probe=2)
     plan = _plan(df)
-    # the per-dimension form emitted avg(v[0]) ... avg(v[511]); the
-    # array-aggregate form has a handful of avg() calls total
+    # the per-dimension form emitted avg(v[0]) ... avg(v[511]) into the
+    # result plan; the array-aggregate Lloyd step now runs EAGERLY
+    # inside ann_ivf_topk (its K refined centroids are collected — a
+    # bounded n_centroids-row transfer — so both assignment passes
+    # become literal argmax projections with no cross join, no
+    # vector-carrying groupBy and no window). The returned plan must
+    # carry no per-dimension aggregates and no per-query window.
     assert plan.count("avg(") < 20
-    assert "posexplode" in plan
+    assert "row_number" not in plan
     # and it still computes: recall vs brute force isn't asserted here
     # (tiny corpus), just execution end-to-end
     assert df.count() > 0
