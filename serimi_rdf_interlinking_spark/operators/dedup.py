@@ -68,23 +68,46 @@ def _shingle_rows(
     docs: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     """(id, sh) distinct word-n-gram rows; token-less docs yield one ''
-    shingle via the array shingler's greatest(...,1) floor.
+    shingle (the array shingler's greatest(...,1) floor).
 
-    Shape note (measured on a 200k-doc corpus): a window-lead shingler
-    (posexplode + lead()) is codegen'd but pays a full shuffle to sort
-    tokens per doc plus a distinct shuffle — measured slower than this
-    per-row array shingler despite the latter's interpreted
-    slice+concat lambdas. Allocation rate, not instruction count,
-    bounds both; the array form moves no data."""
+    Tokenization stays a JVM expression (codegen regex + lower — no
+    second Unicode-case implementation enters the path); the SHINGLE
+    construction runs as a vectorized mapInPandas over the token
+    arrays: the expression form (transform(sequence) of slice +
+    concat_ws lambdas, then array_distinct) is interpreted per
+    shingle and measured as the dominant cost of the whole minhash
+    pipeline (5.3s of a 7.1s sf1.0 run for 2.6M shingles). " ".join
+    over a null-free token list is byte-identical to concat_ws(' ',
+    slice(...)), and dict.fromkeys reproduces array_distinct's
+    first-occurrence dedup, so the emitted (id, sh) set is unchanged.
+    A window-lead shingler (posexplode + lead()) was rejected earlier
+    for its per-doc sort + distinct shuffles; this form still moves no
+    data."""
+    import pandas as pd
+
     from .partitioning import widen_to_cluster
 
+    id_type = docs.schema[id_col].dataType.simpleString()
     docs = widen_to_cluster(docs)
-    return docs.select(
+    toks_df = docs.select(
         F.col(id_col).alias("id"), _tokens(text_col).alias("toks")
-    ).select(
-        "id",
-        F.explode(F.array_distinct(_shingles(F.col("toks"), n))).alias("sh"),
     )
+
+    def shingle(pdfs):
+        for pdf in pdfs:
+            ids_out: list = []
+            sh_out: list = []
+            for doc_id, toks in zip(pdf["id"], pdf["toks"]):
+                toks = list(toks)
+                count = max(len(toks) - (n - 1), 1)
+                distinct = dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(count)
+                )
+                ids_out.extend([doc_id] * len(distinct))
+                sh_out.extend(distinct)
+            yield pd.DataFrame({"id": ids_out, "sh": sh_out})
+
+    return toks_df.mapInPandas(shingle, f"id {id_type}, sh string")
 
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -426,13 +449,36 @@ def simhash(
     docs = widen_to_cluster(docs)
     ids = docs.select(F.col(id_col).alias("id"))
     toks = docs.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok"))
+    # ONE hex parse per token instead of `bits` substring+conv string
+    # parses (bits <= 16, the default profile): the first 15 nibbles
+    # pack into a 60-bit long (the same conv trick the minhash family
+    # uses) and nibble i's 'high' test (>= 8) is just its top bit;
+    # nibble 16 parses separately. Values are identical — same hex
+    # digits, same majority votes. Wider signatures keep the per-
+    # nibble parse (would need >64 bits packed).
     toks = toks.withColumn("h", F.md5("tok"))
     aggs = []
-    for i in range(bits):
-        nib = F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int")
-        aggs.append(
-            F.sum(F.when(nib >= 8, 1).otherwise(-1)).alias(f"b{i}")
+    if bits <= 16:
+        toks = toks.select(
+            "id",
+            F.conv(F.substring("h", 1, 15), 16, 10).cast("long").alias("x"),
+            F.conv(F.substring("h", 16, 1), 16, 10).cast("int").alias("n15"),
         )
+        for i in range(bits):
+            if i < 15:
+                hi = (
+                    F.shiftright(F.col("x"), 4 * (14 - i) + 3).bitwiseAND(1)
+                    == 1
+                )
+            else:
+                hi = F.col("n15") >= 8
+            aggs.append(F.sum(F.when(hi, 1).otherwise(-1)).alias(f"b{i}"))
+    else:
+        for i in range(bits):
+            nib = F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int")
+            aggs.append(
+                F.sum(F.when(nib >= 8, 1).otherwise(-1)).alias(f"b{i}")
+            )
     per_doc = toks.groupBy("id").agg(*aggs)
     sig = F.lit(0).cast("long")
     for i in range(bits):

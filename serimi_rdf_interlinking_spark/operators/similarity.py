@@ -64,6 +64,28 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     )
 
 
+def dot_literal(a: Column, vals: list, dim: int) -> Column:
+    """dot(vector column, python-list constant) with the same
+    left-to-right addition order as dot_unrolled/_dot. The constant is
+    inlined as scalar literals, NOT as an array column: a[i] *
+    array(...)[i] re-expands the CreateArray expression per element
+    access (64 array constructions per dot in codegen — measured 3s
+    for 20k rows x 8 centroids), where scalar literals are free. Dims
+    past MAX_UNROLL_DIM fall back to the HOF fold over one array
+    literal (evaluated once per row), same values either way."""
+    import functools
+    import operator
+
+    if dim <= 0:
+        return F.lit(0.0)
+    if dim > MAX_UNROLL_DIM:
+        return _dot(a, F.array(*[F.lit(float(x)) for x in vals[:dim]]))
+    return functools.reduce(
+        operator.add,
+        [a[i] * F.lit(float(vals[i])) for i in range(dim)],
+    )
+
+
 def _probe_dim(embeddings: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from the first row (0 for an empty
     frame) — probed once so the pair-scoring dot can unroll."""
@@ -317,27 +339,49 @@ def ann_ivf_topk(
         "v",
     ).drop("v0").localCheckpoint(eager=True)
 
-    def argmax_cluster(vcol: str, cents: list) -> Column:
+    def assign_clusters(frame: DataFrame, cents: list) -> DataFrame:
         """argmax_j dot(vec, centroid_j), ties to the smallest cluster
-        id, as ONE codegen projection: least() over (-sim, cluster)
-        structs is the same lexicographic min the old groupBy-min
-        computed, and dot_unrolled sums in the same left-to-right order
-        as the HOF fold (±0.0 folds differ but compare equal), so the
-        assignment is bit-identical — without the K-way cross join +
-        vector-carrying groupBy shuffle per assignment pass."""
-        cands = [
-            F.struct(
-                (-dot_unrolled(
-                    F.col(vcol),
-                    F.array(*[F.lit(float(x)) for x in cvec]),
-                    dim,
-                )).alias("ns"),
-                F.lit(cid).alias("cluster"),
-            )
-            for cid, cvec in cents
-        ]
-        best = cands[0] if len(cands) == 1 else F.least(*cands)
-        return best["cluster"]
+        id — the same lexicographic (-sim, cluster) min the old
+        groupBy-min computed, as a vectorized mapInPandas pass. A pure
+        JVM form (least() over K 64-term structs) is ONE unsplittable
+        expression whose generated method blows the JIT's method-size
+        limit and runs interpreted (measured 2.4s per assignment pass
+        at 20k rows); here each (row, centroid) dot accumulates in the
+        SAME left-to-right dimension order as dot_literal/_dot —
+        vectorized over rows, sequential over dims — so the sims (and
+        the tie-broken argmax: centroids ordered by ascending cluster
+        id + first-max-wins) are bit-identical. No shuffle: one
+        partition-local pass, vectors ride through Arrow unchanged
+        (float64 bits are preserved exactly)."""
+        import numpy as np
+        import pandas as pd
+
+        ordered = sorted(cents, key=lambda c: c[0])
+        cids = [c for c, _ in ordered]
+        C = np.array([cv for _, cv in ordered], dtype=np.float64)
+
+        def assign(pdfs):
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                V = np.array(list(pdf["v"]), dtype=np.float64)
+                if dim == 0:
+                    sims = np.zeros((len(V), len(cids)))
+                else:
+                    V = V.reshape(len(V), dim)
+                    sims = V[:, 0, None] * C[None, :, 0]
+                    for i in range(1, dim):
+                        sims = sims + V[:, i, None] * C[None, :, i]
+                with np.errstate(invalid="ignore"):
+                    best = np.argmax(sims, axis=1)
+                out = pdf[["neighbor_id", "v"]].copy()
+                out["cluster"] = np.asarray(cids)[best]
+                yield out
+
+        return frame.mapInPandas(
+            assign,
+            f"neighbor_id {id_type}, v array<double>, cluster {id_type}",
+        )
 
     # seed centroids: the n_centroids smallest-id unit vectors —
     # collected (bounded: n_centroids rows) so the assignment becomes a
@@ -351,7 +395,7 @@ def ann_ivf_topk(
             [],
             f"query_id {id_type}, neighbor_id {id_type}, cos double, rk int",
         )
-    assigned0 = corpus.withColumn("cluster", argmax_cluster("v", seeds))
+    assigned0 = assign_clusters(corpus, seeds)
     # one Lloyd step: per-dimension mean of members, rounded (engine-
     # portable). Shaped as ONE array aggregate — posexplode to
     # (cluster, pos, x), avg per (cluster, pos), fold back into the
@@ -377,7 +421,7 @@ def ann_ivf_topk(
         .collect()
     )
     refined = [(r.cluster, list(r.c)) for r in refined_rows]
-    lists = corpus.withColumn("cluster", argmax_cluster("v", refined))
+    lists = assign_clusters(corpus, refined)
 
     q = unit_vec(
         queries.select(
@@ -394,11 +438,7 @@ def ann_ivf_topk(
     probe_cands = F.array(
         *[
             F.struct(
-                (-dot_unrolled(
-                    F.col("qv"),
-                    F.array(*[F.lit(float(x)) for x in cvec]),
-                    dim,
-                )).alias("ns"),
+                (-dot_literal(F.col("qv"), cvec, dim)).alias("ns"),
                 F.lit(cid).alias("cluster"),
             )
             for cid, cvec in refined

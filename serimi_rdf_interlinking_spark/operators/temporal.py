@@ -117,8 +117,15 @@ def asof_join(
 
 
 def _as_micros(col, dtype):
-    from pyspark.sql.types import TimestampType
+    from pyspark.sql.types import TimestampNTZType, TimestampType
 
     if isinstance(dtype, TimestampType):
         return F.unix_micros(col)
+    if isinstance(dtype, TimestampNTZType):
+        # parquet event times load as TIMESTAMP_NTZ in this repo;
+        # cast('long') on NTZ raises AnalysisException, so go through
+        # TimestampType first (exact under the session's UTC timezone,
+        # the same cast-before-unix_micros convention the driver
+        # queries use)
+        return F.unix_micros(col.cast("timestamp"))
     return col.cast("long")

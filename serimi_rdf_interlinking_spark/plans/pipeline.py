@@ -154,8 +154,15 @@ class KGPipeline:
                     F.spark_partition_id().alias("pid")
                 ).agg(F.count("*").alias("cnt")).collect()
             ]
+            # rows_out is the sum of the per-partition counts just
+            # collected — a second full count() job over the same
+            # table would recompute the identical number
             self._lineage_append(
-                spark, "extract", pages.count(), extracted.count(), per_part
+                spark,
+                "extract",
+                pages.count(),
+                sum(c for _, c in per_part),
+                per_part,
             )
             self._mark_done("extract")
             ran.append("extract")

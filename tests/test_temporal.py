@@ -115,6 +115,53 @@ def test_asof_tolerance(spark):
     )
 
 
+def test_asof_tolerance_ntz_timestamps(spark):
+    """tolerance_us with TIMESTAMP_NTZ columns (what this repo's
+    parquet loads yield): _as_micros must route NTZ through a
+    timestamp cast — a bare cast('long') on NTZ raises
+    AnalysisException, which made the documented timestamp support
+    latent until now."""
+    from pyspark.sql import functions as F
+
+    lpd, rpd = _mk(31)
+    left = spark.createDataFrame(lpd).withColumn(
+        "lts", F.timestamp_seconds(F.col("lts")).cast("timestamp_ntz")
+    )
+    right = spark.createDataFrame(rpd).withColumn(
+        "rts", F.timestamp_seconds(F.col("rts")).cast("timestamp_ntz")
+    )
+    out = (
+        asof_join(
+            left,
+            right,
+            on=["k"],
+            left_ts="lts",
+            right_ts="rts",
+            right_cols=["rv"],
+            tolerance_us=500 * 1_000_000,
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    merged = pd.merge_asof(
+        lpd.sort_values("lts", kind="mergesort"),
+        rpd.sort_values("rts", kind="mergesort").rename(
+            columns={"rts": "asof_rts", "rv": "asof_rv"}
+        ),
+        left_on="lts",
+        right_on="asof_rts",
+        by="k",
+        direction="backward",
+        tolerance=500,
+    ).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        out["asof_rv"].astype("float64"),
+        merged["asof_rv"].astype("float64"),
+        check_names=False,
+    )
+
+
 def test_asof_right_tie_collapse(spark):
     """Multiple right rows at the same (key, ts) collapse to the max
     payload struct — deterministic under any shuffle order."""
