@@ -64,10 +64,15 @@ def _session_state_width(spark: SparkSession, n_rows: int) -> int:
     17.2s at sf1.0 going 8 → 16 partitions, identical output — emitted
     sessions are partition-count-independent), while at fixture scale
     the extra state-store deltas per micro-batch are pure overhead
-    (the round-5 right-sizing). ~30k rows per state partition, floored
-    at the fixture-scale 8, capped at cluster parallelism."""
+    (the round-5 right-sizing). With bucketed state keys (round 6) the
+    per-group Python dispatch amortizes over whole buckets and the
+    state-store COMMIT (one delta file per partition per micro-batch)
+    becomes the width-proportional cost — re-measured at sf1.0:
+    replay 13.0s at width 8 vs 16.9s at width 32, identical output.
+    ~120k rows per state partition, floored at the fixture-scale 8,
+    capped at cluster parallelism."""
     par = max(spark.sparkContext.defaultParallelism, 1)
-    return max(8, min(par, n_rows // 30_000))
+    return max(8, min(par, n_rows // 120_000))
 
 
 @contextmanager
@@ -1842,10 +1847,16 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in set(glob.glob(f"{base}/in/*.parquet")) - first:
         os.utime(p, (bump, bump))
     with _stream_shuffle(spark, width):
+        # state keyed on 4*width hash buckets of user_id: same emitted
+        # sessions (see make_bucketed_event_time_sessionizer), but the
+        # per-(group, micro-batch) Python dispatch — the measured wall
+        # of this replay — shrinks from one call per active user to one
+        # per bucket. Derived from the state width (itself input-
+        # derived), not a constant.
         q = stream_sessionize_event_time(
             spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
             gap_seconds=3600.0, watermark_delay="10 minutes",
-            max_files_per_trigger=1,
+            max_files_per_trigger=1, state_buckets=4 * width,
         )
         q.awaitTermination()
     return (
@@ -1958,28 +1969,41 @@ def q_stream_sessionize_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = ev.withColumn(
         "_chunk", F.when(defer, chunk + 1).otherwise(chunk)
     ).localCheckpoint()
-    seen: set = set()
-    mtime = None
-    for c in range(4):
+    # the four chunk writes are independent single-task jobs over the
+    # same checkpointed frame — submit them CONCURRENTLY (guide §2.6:
+    # overlap independent jobs) into separate dirs (no output-committer
+    # races), then move the files into the stream dir with ascending
+    # mtimes = the replay order. Each file's row content and order are
+    # identical to the old sequential per-chunk writes; a one-job
+    # repartitionByRange+partitionBy variant measured SLOWER (the range
+    # exchange + global sort cost more than the four small sorts).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_chunk(c: int) -> None:
         (
             tagged.filter(F.col("_chunk") == c)
             .drop("_chunk")
             .repartition(1)
             .sortWithinPartitions(F.md5(F.col("event_id").cast("string")))
-            .write.mode("append")
-            .parquet(f"{base}/in")
+            .write.mode("overwrite")
+            .parquet(f"{base}/chunks/c{c}")
         )
-        new = set(glob.glob(f"{base}/in/*.parquet")) - seen
-        seen |= new
-        if mtime is None:
-            import time as _time
 
-            mtime = max(
-                (os.path.getmtime(p) for p in new), default=_time.time()
-            )
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(_write_chunk, range(4)))
+    os.makedirs(f"{base}/in", exist_ok=True)
+    import time as _time
+
+    seen: set = set()
+    mtime = _time.time()
+    for c in range(4):
+        files = sorted(glob.glob(f"{base}/chunks/c{c}/*.parquet"))
         mtime += 2
-        for p in new:
-            os.utime(p, (mtime, mtime))
+        for i, src in enumerate(files):
+            dst = f"{base}/in/chunk{c}_{i}.parquet"
+            os.replace(src, dst)
+            os.utime(dst, (mtime, mtime))
+            seen.add(dst)
     flush = (
         ev.select("user_id")
         .distinct()
@@ -1994,10 +2018,14 @@ def q_stream_sessionize_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in set(glob.glob(f"{base}/in/*.parquet")) - seen:
         os.utime(p, (mtime, mtime))
     with _stream_shuffle(spark, width):
+        # bucketed state keys — see q_stream_sessionize; the emitted
+        # session set is keying-independent (folds are monotone under
+        # the global watermark), which the ooo parity test asserts
+        # against the batch oracle
         q = stream_sessionize_event_time(
             spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
             gap_seconds=3600.0, watermark_delay="6 hours",
-            max_files_per_trigger=1,
+            max_files_per_trigger=1, state_buckets=4 * width,
         )
         q.awaitTermination()
     return (

@@ -87,12 +87,19 @@ def test_stream_sessionize_matches_batch_rule(spark, ordered_events, tmp_path):
     assert got == expected
 
 
-def test_event_time_sessionize_out_of_order_cross_batch(spark, tmp_path):
+@pytest.mark.parametrize("state_buckets", [None, 2])
+def test_event_time_sessionize_out_of_order_cross_batch(
+    spark, tmp_path, state_buckets
+):
     """Watermarked event-time variant (round-2 verdict #8): an event
     arriving in a LATER micro-batch with an EARLIER event time (within
     the watermark delay) must fold in event-time order — emitted
     sessions equal the batch lag+cumsum rule on the union of both
-    files, minus each user's final (still-open) session."""
+    files, minus each user's final (still-open) session.
+
+    Parametrized over the round-6 bucketed state keying (2 buckets for
+    3 users forces multi-user buckets): the emitted session SET must be
+    keying-independent."""
     import time
 
     import pandas as pd
@@ -138,7 +145,7 @@ def test_event_time_sessionize_out_of_order_cross_batch(spark, tmp_path):
     q = stream_sessionize_event_time(
         spark, ev_dir, out, str(tmp_path / "ckpt"),
         gap_seconds=3600.0, watermark_delay="30 minutes",
-        max_files_per_trigger=1,
+        max_files_per_trigger=1, state_buckets=state_buckets,
     )
     assert q.awaitTermination(300), "stream did not terminate in 300s"
 
@@ -161,12 +168,17 @@ def test_event_time_sessionize_out_of_order_cross_batch(spark, tmp_path):
     assert got == _expected_closed(ev, gap_us=3600 * 1_000_000)
 
 
-def test_event_time_sessionize_randomized_parity(spark, tmp_path):
+@pytest.mark.parametrize("state_buckets", [None, 2])
+def test_event_time_sessionize_randomized_parity(
+    spark, tmp_path, state_buckets
+):
     """Seeded randomized stream: 3 users x ~10 events with bounded
     out-of-order arrival across 3 micro-batches (displacement kept
     well inside the 2-hour watermark delay), plus far-future flush
     events. Emitted sessions must equal the batch gap rule minus each
-    user's final (open, flush-started) session."""
+    user's final (open, flush-started) session. Parametrized over the
+    round-6 bucketed state keying (multi-user buckets at 2 buckets /
+    3 users): same emitted set."""
     import random
     import time
 
@@ -214,7 +226,7 @@ def test_event_time_sessionize_randomized_parity(spark, tmp_path):
     q = stream_sessionize_event_time(
         spark, ev_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
         gap_seconds=3600.0, watermark_delay="2 hours",
-        max_files_per_trigger=1,
+        max_files_per_trigger=1, state_buckets=state_buckets,
     )
     assert q.awaitTermination(300), "stream did not terminate in 300s"
 
