@@ -177,7 +177,7 @@ def q_stopword_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.filter(
                 F.split(
-                    F.lower(F.trim(F.regexp_replace("text", r"[^A-Za-z0-9]+", " "))),
+                    F.lower(F.trim(F.regexp_replace("text", r"(?i)[^a-z0-9]+", " "))),
                     " ",
                 ),
                 lambda t: t != F.lit(""),
@@ -254,7 +254,7 @@ def q_blocking_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.filter(
                 F.split(
-                    F.lower(F.trim(F.regexp_replace("c_name", r"[^A-Za-z0-9]+", " "))),
+                    F.lower(F.trim(F.regexp_replace("c_name", r"(?i)[^a-z0-9]+", " "))),
                     " ",
                 ),
                 lambda t: t != F.lit(""),

@@ -18,7 +18,7 @@ def norm_text(c: Column | str) -> Column:
     only inter-token spacing differs, which never feeds the metrics
     JVM-side)."""
     col = F.col(c) if isinstance(c, str) else c
-    cleaned = F.regexp_replace(F.regexp_replace(col, r"[^A-Za-z0-9_]", " "), "_", " ")
+    cleaned = F.regexp_replace(F.regexp_replace(col, r"(?i)[^a-z0-9_]", " "), "_", " ")
     return F.lower(F.trim(F.regexp_replace(cleaned, r" +", " ")))
 
 

@@ -34,8 +34,14 @@ log = logging.getLogger(__name__)
 
 
 def _norm(c) -> Column:
+    # (?i)[^a-z0-9]+ is byte-equivalent to [^A-Za-z0-9]+ (Java regex
+    # CASE_INSENSITIVE without UNICODE_CASE folds ASCII only) but ~20x
+    # faster: java.util.regex compiles a <=2-range class to a bitmap
+    # predicate, while the 3-range class walks a union chain per char
+    # (measured 2.4s -> 0.1s for one pass over 50k docs at 32 cores).
+    # The DuckDB oracles keep the spelled-out class — same semantics.
     col = F.col(c) if isinstance(c, str) else c
-    return F.lower(F.trim(F.regexp_replace(col, r"[^A-Za-z0-9]+", " ")))
+    return F.lower(F.trim(F.regexp_replace(col, r"(?i)[^a-z0-9]+", " ")))
 
 
 def _tokens(c) -> Column:

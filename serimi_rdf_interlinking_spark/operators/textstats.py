@@ -27,7 +27,7 @@ LANG_MARKERS: dict[str, list[str]] = {
 def _tokens(c) -> F.Column:
     col = F.col(c) if isinstance(c, str) else c
     return F.filter(
-        F.split(F.lower(F.trim(F.regexp_replace(col, r"[^A-Za-z0-9]+", " "))), " "),
+        F.split(F.lower(F.trim(F.regexp_replace(col, r"(?i)[^a-z0-9]+", " "))), " "),
         lambda t: t != F.lit(""),
     )
 
@@ -86,7 +86,7 @@ def quality_score(
     base = docs.select(
         F.col(id_col),
         F.length(t).alias("_nc"),
-        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).alias("_na"),
+        F.length(F.regexp_replace(t, r"(?i)[^a-z]", "")).alias("_na"),
         F.length(F.regexp_replace(t, r"[^ ]", "")).alias("_nw"),
         _tokens(text_col).alias("_toks"),
     )
@@ -131,7 +131,7 @@ def token_counts(
     docs = widen_to_cluster(docs)
     t = F.col(text_col)
     ws = F.size(F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit("")))
-    bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(r"(?i)[a-z0-9]+|[^a-z0-9\s]"), 0))
     return docs.select(
         F.col(id_col),
         ws.cast("long").alias("ws_tokens"),
@@ -146,7 +146,7 @@ def fingerprint(
     key) and md5 of the sorted distinct token set (bag-of-words key,
     order/shuffle-insensitive)."""
     docs = widen_to_cluster(docs)
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]+", " ")))
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"(?i)[^a-z0-9]+", " ")))
     bow = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(text_col))))
     return docs.select(
         F.col(id_col),

@@ -83,7 +83,7 @@ def stream_dedup_exact(
             F.md5(
                 F.lower(
                     F.trim(
-                        F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]+", " ")
+                        F.regexp_replace(F.col(text_col), r"(?i)[^a-z0-9]+", " ")
                     )
                 )
             ),
