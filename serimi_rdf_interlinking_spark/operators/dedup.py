@@ -344,6 +344,13 @@ def minhash_lsh_pairs(
                 ),
             ).alias("band_key")
         )
+        # the band-key frame feeds BOTH sides of the bucket self-join;
+        # left lazy, the whole md5+XOR+min signature pipeline executes
+        # once per side (no static ReuseExchange across the differing
+        # join-key shuffles — measured 8.9s -> 5.3s warm at sf1.0 from
+        # this one materialization; the frame is docs x bands rows,
+        # far smaller than the shingle checkpoint that already holds)
+        .localCheckpoint(eager=True)
     )
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
