@@ -95,15 +95,36 @@ class KGPipeline:
         rows_out: int,
         per_partition: list[tuple[int, int]] | None = None,
     ) -> None:
+        # lineage rows are driver-side metadata (a handful of rows per
+        # stage): write them with pyarrow directly instead of a Spark
+        # createDataFrame + append job — the job costs ~0.5s of pure
+        # scheduling per stage at any scale, the file is identical
+        # parquet with the same schema, and spark.read.parquet reads it
+        # unchanged (schema asserted by the pipeline tests)
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         rows = [(self.run_id, stage, None, rows_in, rows_out, None)]
         for pid, cnt in per_partition or []:
             rows.append((self.run_id, stage, pid, None, cnt, "partition_rows_out"))
-        df = spark.createDataFrame(
-            rows,
-            "run_id string, stage string, partition_id int, rows_in long,"
-            " rows_out long, detail string",
+        table = pa.table(
+            {
+                "run_id": pa.array([r[0] for r in rows], pa.string()),
+                "stage": pa.array([r[1] for r in rows], pa.string()),
+                "partition_id": pa.array([r[2] for r in rows], pa.int32()),
+                "rows_in": pa.array([r[3] for r in rows], pa.int64()),
+                "rows_out": pa.array([r[4] for r in rows], pa.int64()),
+                "detail": pa.array([r[5] for r in rows], pa.string()),
+            }
         )
-        df.write.mode("append").parquet(os.path.join(self.root, "lineage"))
+        out_dir = os.path.join(self.root, "lineage")
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(
+            table,
+            os.path.join(out_dir, f"part-{stage}-{uuid.uuid4().hex}.parquet"),
+        )
 
     # -- stages ---------------------------------------------------------------
     def run(
