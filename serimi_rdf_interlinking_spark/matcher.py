@@ -820,9 +820,15 @@ class SerimiMatcher:
             )
             crN = self._merge_singleton_chunks(crN)
             tick("main retrieve")
-            chunk_input = self._mat(
-                self._chunk_input(crN, source, target), "chunk_input"
-            )
+            # chunk_input feeds exactly ONE consumer (the kernel's
+            # groupBy shuffle, itself a barrier), so the eager
+            # localCheckpoint bought nothing but an extra job + a copy
+            # of the matcher's LARGEST intermediate; it still
+            # materializes as a parquet stage checkpoint when
+            # cfg.checkpoint_dir asks for durability
+            chunk_input = self._chunk_input(crN, source, target)
+            if self.cfg.checkpoint_dir:
+                chunk_input = self._mat(chunk_input, "chunk_input")
             tick("chunk input")
             kernel = make_chunk_kernel(
                 textp,
