@@ -284,8 +284,7 @@ def make_event_time_sessionizer(gap_seconds: float = 3600.0):
 
 BUCKET_EVENT_STATE_SCHEMA = (
     "su ARRAY<LONG>, ssid ARRAY<LONG>, sst ARRAY<LONG>, sla ARRAY<LONG>, "
-    "sne ARRAY<LONG>, buf_u ARRAY<LONG>, buf_us ARRAY<LONG>, "
-    "buf_id ARRAY<LONG>"
+    "sne ARRAY<LONG>, buf BINARY"
 )
 
 
@@ -317,10 +316,14 @@ def make_bucketed_event_time_sessionizer(gap_seconds: float = 3600.0):
     order-free).
 
     State layout: parallel arrays over the bucket's users (open
-    sessions; sst == -1 encodes "no open session") plus flattened
-    (user, ts_us, event_id) buffers for above-watermark events. The
-    event-time timeout is the min over users' individual wake-up
-    times, clamped above the current watermark."""
+    sessions; sst == -1 encodes "no open session") plus the
+    above-watermark (user, ts_us, event_id) buffer packed into ONE
+    little-endian int64 BINARY blob: the first micro-batch of an
+    AvailableNow replay buffers the whole file (watermark still 0), and
+    the state codec round-trips a binary cell as a memcpy where an
+    ARRAY<LONG> converts element-by-element — the measured wall of the
+    large batches. The event-time timeout is the min over users'
+    individual wake-up times, clamped above the current watermark."""
     import numpy as np
 
     gap_us = int(gap_seconds * 1_000_000)
@@ -335,15 +338,16 @@ def make_bucketed_event_time_sessionizer(gap_seconds: float = 3600.0):
         b_t: list = []
         b_i: list = []
         if state.exists:
-            su, ssid, sst, sla, sne, sbu, sbus, sbid = state.get
+            su, ssid, sst, sla, sne, sbuf = state.get
             for i, uu in enumerate(su or ()):
                 open_state[int(uu)] = [
                     int(ssid[i]), int(sst[i]), int(sla[i]), int(sne[i])
                 ]
-            if sbu:
-                b_u.extend(int(x) for x in sbu)
-                b_t.extend(int(x) for x in sbus)
-                b_i.extend(int(x) for x in sbid)
+            if sbuf:
+                packed = np.frombuffer(sbuf, dtype="<i8").reshape(3, -1)
+                b_u.extend(packed[0].tolist())
+                b_t.extend(packed[1].tolist())
+                b_i.extend(packed[2].tolist())
         if not state.hasTimedOut:
             for pdf in pdfs:
                 if len(pdf):
@@ -445,9 +449,7 @@ def make_bucketed_event_time_sessionizer(gap_seconds: float = 3600.0):
                     [live[u][1] for u in users],
                     [live[u][2] for u in users],
                     [live[u][3] for u in users],
-                    rem_u,
-                    rem_t,
-                    rem_i,
+                    np.array([rem_u, rem_t, rem_i], dtype="<i8").tobytes(),
                 )
             )
             # wake when the earliest open session becomes closeable or
