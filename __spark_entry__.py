@@ -355,17 +355,21 @@ def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts, distinct 'hot' parts (intersection with the >10-order part
     set), and the difference size."""
     li = _read(spark, sf_dir, "lineitem")
+    # ONE scan + ONE distinct shuffle for both consumers: the hot-part
+    # set is a plain count over the distinct (order, part) pairs —
+    # countDistinct(l_orderkey) per part on the raw table shuffles the
+    # same pairs a second time. The distinct frame is materialized once
+    # (it feeds the hot aggregation and the join below; left lazy the
+    # scan+distinct would re-execute per consumer).
+    per_order = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    )
     hot = (
-        li.groupBy("l_partkey")
-        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        per_order.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") > 10)
         .select("l_partkey", F.lit(1).alias("is_hot"))
     )
-    # single consumer of the distinct (order, part) frame: flag hot
-    # membership with one left join, then ONE aggregation computes both
-    # counts — the two-subtree form re-executed the scan+distinct twice
-    # inside one action (the round-2 multi-consumer lesson)
-    per_order = li.select("l_orderkey", "l_partkey").distinct()
     return (
         per_order.join(hot, "l_partkey", "left")
         .groupBy("l_orderkey")
