@@ -741,26 +741,46 @@ class SerimiMatcher:
             sample, cfg.text_property_len
         )
         tick("labels")
-        stopwords = mine_stopwords(source, members, labels)
-        tick("stopwords")
 
-        # blocking_order pins its range-partitioned frame via our _mat
-        # so the blocks are released with the other intermediates
-        ranked = blocking_order(
-            source, members, labels, cfg,
-            mat=lambda df: self._mat(df, "blocking_ordered"),
-        )
-        keywords = self._mat(
-            prepare_keywords(source, ranked, labels, cfg), "keywords"
-        )
-        tick("blocking+keywords")
+        # stop-word mining, the blocking order + keyword prep, and the
+        # raw token index are mutually independent (stopwords/blocking
+        # read only source+members+labels; the index reads only target)
+        # — submit them as concurrent jobs (guide §2.6: overlap
+        # independent jobs) so one stage's stragglers back-fill with
+        # the next stage's tasks. Results are deterministic per stage,
+        # so completion order cannot change any downstream value.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _job_stopwords():
+            return mine_stopwords(source, members, labels)
+
+        def _job_keywords():
+            # blocking_order pins its range-partitioned frame via our
+            # _mat so the blocks are released with the other
+            # intermediates
+            ranked = blocking_order(
+                source, members, labels, cfg,
+                mat=lambda df: self._mat(df, "blocking_ordered"),
+            )
+            return self._mat(
+                prepare_keywords(source, ranked, labels, cfg), "keywords"
+            )
+
+        def _job_index():
+            return self._mat(raw_token_index(target, None, cfg), "index_all")
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_sw = pool.submit(_job_stopwords)
+            f_kw = pool.submit(_job_keywords)
+            f_ix = pool.submit(_job_index)
+            stopwords = f_sw.result()
+            keywords = f_kw.result()
+            index_raw = f_ix.result()
+        tick("stopwords+blocking+index")
 
         # warm-up chunk: any-predicate search (wbwp == ['?p']). The RAW
-        # index is materialized once; the hot-token guard scans the
+        # index was materialized above; the hot-token guard scans the
         # checkpointed frame.
-        index_raw = self._mat(
-            raw_token_index(target, None, cfg), "index_all"
-        )
         index_all = apply_hot_token_cap(index_raw, cfg)
         kw0 = keywords.filter(F.col("chunk_id") == 0)
         cr0 = self._retrieve(kw0, index_all, target, None, None, stopwords, "warm")
