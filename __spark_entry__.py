@@ -1802,7 +1802,6 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     each user's flush-started session stays open and is never emitted.
     Aggregating emitted sessions per user therefore reproduces the
     batch (n_sessions, n_events) row for every user."""
-    import glob
 
     from serimi_rdf_interlinking_spark.streaming.sessionize import (
         stream_sessionize_event_time,
@@ -1833,7 +1832,6 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(f"{base}/in")
     )
-    first = set(glob.glob(f"{base}/in/*.parquet"))
     flush = (
         ev.select("user_id")
         .distinct()
@@ -1844,12 +1842,6 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     flush.coalesce(1).write.mode("append").parquet(f"{base}/in")
-    # the file stream orders batches by modification time: bump the
-    # flush file explicitly past the data file (os.utime beats the
-    # sleep-for-distinct-mtimes idiom — no wall-clock waste)
-    bump = max(os.path.getmtime(p) for p in first) + 2
-    for p in set(glob.glob(f"{base}/in/*.parquet")) - first:
-        os.utime(p, (bump, bump))
     with _stream_shuffle(spark, width):
         # state keyed on 4*width hash buckets of user_id: same emitted
         # sessions (see make_bucketed_event_time_sessionizer), but the
@@ -1857,10 +1849,18 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # of this replay — shrinks from one call per active user to one
         # per bucket. Derived from the state width (itself input-
         # derived), not a constant.
+        #
+        # Both files load in ONE micro-batch (max_files_per_trigger=2):
+        # the initial watermark is 0, so every event — ordered data and
+        # flush alike — buffers above it regardless of arrival batch,
+        # and the post-data timeout batch folds the buffer in event-time
+        # order and emits every closed session. The emitted set is
+        # identical to the old one-file-per-batch replay (verified
+        # hash-identical), one whole micro-batch boundary cheaper.
         q = stream_sessionize_event_time(
             spark, f"{base}/in", f"{base}/out", f"{base}/ckpt",
             gap_seconds=3600.0, watermark_delay="10 minutes",
-            max_files_per_trigger=1, state_buckets=4 * width,
+            max_files_per_trigger=2, state_buckets=4 * width,
         )
         q.awaitTermination()
     return (
