@@ -1969,7 +1969,10 @@ def q_stream_sessionize_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize once: the per-chunk writes below each filter this
     # frame — left lazy they would re-scan + re-tag the events table
-    # four times
+    # four times. (A widen_to_cluster before the checkpoint was
+    # measured SLOWER here — the round-robin shuffle + its
+    # sort-before-repartition cost more than the narrow scan-task
+    # checkpoint it parallelized.)
     tagged = ev.withColumn(
         "_chunk", F.when(defer, chunk + 1).otherwise(chunk)
     ).localCheckpoint()
