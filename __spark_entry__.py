@@ -1767,7 +1767,12 @@ def q_stream_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__flush__").alias("event_type"),
         F.lit(0.0).alias("value"),
     )
-    ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(
+    # coalesce(4), not 1: four write tasks instead of one, and all
+    # four files still land in ONE micro-batch (maxFilesPerTrigger=4),
+    # so the replay's batch structure — and the emitted windows — are
+    # unchanged (the sentinel rides in whichever file gets it; the
+    # watermark is computed over the whole batch either way)
+    ev.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(
         f"{base}/in"
     )
     with _stream_shuffle(spark):
@@ -1893,7 +1898,10 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "value"
     )
     dim = _read(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    ev.coalesce(1).write.mode("overwrite").parquet(f"{base}/in")
+    # coalesce(4): parallel write, still one micro-batch at the
+    # reader's maxFilesPerTrigger=4 — the stateless per-batch join
+    # emits the same enriched row set regardless of file layout
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{base}/in")
     with _stream_shuffle(spark):
         q = stream_enrich(
             spark, f"{base}/in", dim, f"{base}/out", f"{base}/ckpt"
