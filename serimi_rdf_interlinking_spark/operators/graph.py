@@ -70,11 +70,13 @@ def connected_components(
         .distinct()
     )
     e = e.localCheckpoint(eager=True)
-    n_edges = e.count()
-    if n_edges <= driver_threshold:
-        mapping = _union_find_local(
-            [(r.a, r.b) for r in e.collect()]
-        )
+    # one job decides the path AND fetches the edges: collecting at
+    # most threshold+1 rows either returns the ENTIRE edge set (when
+    # it fits under the driver threshold) or proves it does not —
+    # the separate count() job the old form ran is redundant
+    probe = e.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        mapping = _union_find_local([(r.a, r.b) for r in probe])
         spark = edges.sparkSession
         if not mapping:
             return spark.createDataFrame([], "node string, component string")
