@@ -316,10 +316,14 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     verify_threshold: float = 0.5,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """MinHash+LSH candidate generation + exact Jaccard verification.
     rows_per_band = num_hashes/bands; candidates share at least one
-    band key. Returns (id_a, id_b, jaccard)."""
+    band key. Returns (id_a, id_b, jaccard), ordered by (id_a, id_b)
+    unless ``sorted_output=False`` — order-insensitive consumers
+    (connected components' distinct) skip the global pair sort, which
+    the optimizer does NOT eliminate below their aggregate."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     # ONE shingle materialization for the whole pipeline: the (id, sh)
@@ -380,13 +384,15 @@ def minhash_lsh_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("co"))
     )
-    return (
+    pairs = (
         _join_sizes(co, sizes)
         .withColumn("jaccard", _jaccard_from_counts())
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
     )
+    if sorted_output:
+        pairs = pairs.orderBy("id_a", "id_b")
+    return pairs
 
 
 def dedup_clusters(
@@ -413,8 +419,12 @@ def dedup_clusters(
     checkpoint."""
     from .graph import connected_components
 
+    # unsorted pairs: CC's edge distinct is order-insensitive and the
+    # public variant's global (id_a, id_b) sort would otherwise run —
+    # a full range-exchange of every verified pair — for nothing
     pairs = minhash_lsh_pairs(
-        docs, id_col, text_col, num_hashes, bands, n, verify_threshold
+        docs, id_col, text_col, num_hashes, bands, n, verify_threshold,
+        sorted_output=False,
     )
     cc = connected_components(pairs, src="id_a", dst="id_b")
     ids = docs.select(F.col(id_col).alias("doc_id"))
